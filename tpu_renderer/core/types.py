@@ -1,0 +1,169 @@
+"""Core data model: camera, lights, scene objects, framebuffer.
+
+TPU-native reconstruction of the reference's render state (SURVEY.md §1.2):
+
+- ``ProjectiveTransform``  <- the absent ``projective_transform`` struct used
+  by ProjectVertex/UnprojectVertex (projekt.cpp:74-160).
+- ``LightData``            <- the absent ``light_data``/``light_info`` structs
+  (projekt.cpp:452-481, 4010-4062), vectorized over lights.
+- ``RenderObject``         <- ``render_entry_3d_object`` (projekt.h:1-15):
+  triangle soup (3 verts per triangle, no index buffer) with interleaved
+  per-vertex color/normal/uv arrays and an optional ARGB32 texture.
+- ``Framebuffer``          <- ``loaded_bitmap`` + z-buffer + clear semantics
+  (``game_render_commands.ZBuffer``; larger stored z wins, projekt.cpp:495).
+
+All leaves are JAX arrays so every structure is a pytree that flows through
+jit/shard_map. Per-object booleans that change compiled code (phong shading,
+textured) are *static* and live in ``ObjectConfig``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+F32 = jnp.float32
+
+# Clear value for the depth buffer. The reference's platform layer owns the
+# clear (absent from the repo); the z test is "larger wins" (projekt.cpp:495)
+# with stored z = camera-space z, which can be negative, so the clear must be
+# the most-negative float.
+DEPTH_CLEAR = np.float32(-3.4028235e38)
+
+# Near clip plane, hardcoded in ProjectVertex (projekt.cpp:82).
+NEAR_CLIP = np.float32(0.2)
+
+
+class ProjectiveTransform(NamedTuple):
+    """Pinhole camera looking down -z from ``distance_above_target``."""
+
+    distance_above_target: jnp.ndarray  # scalar f32
+    focal_length: jnp.ndarray  # scalar f32
+    meters_to_pixels: jnp.ndarray  # scalar f32
+    screen_center: jnp.ndarray  # (2,) f32, pixels
+
+
+def make_transform(
+    distance_above_target: float,
+    focal_length: float,
+    meters_to_pixels: float,
+    screen_center,
+) -> ProjectiveTransform:
+    return ProjectiveTransform(
+        distance_above_target=jnp.asarray(distance_above_target, F32),
+        focal_length=jnp.asarray(focal_length, F32),
+        meters_to_pixels=jnp.asarray(meters_to_pixels, F32),
+        screen_center=jnp.asarray(screen_center, F32),
+    )
+
+
+class LightData(NamedTuple):
+    """Ambient + N point lights (vectorized ``light_data``)."""
+
+    ambient: jnp.ndarray  # (4,) f32 rgba intensity
+    light_p: jnp.ndarray  # (L, 3) f32 camera-space positions
+    light_intensity: jnp.ndarray  # (L, 4) f32 rgba intensities
+
+    @property
+    def count(self) -> int:
+        return self.light_p.shape[0]
+
+
+def make_lights(ambient, positions, intensities) -> LightData:
+    positions = jnp.asarray(positions, F32).reshape(-1, 3)
+    intensities = jnp.asarray(intensities, F32).reshape(-1, 4)
+    assert positions.shape[0] == intensities.shape[0]
+    return LightData(
+        ambient=jnp.asarray(ambient, F32).reshape(4),
+        light_p=positions,
+        light_intensity=intensities,
+    )
+
+
+def no_lights() -> LightData:
+    """Zero lights: ambient never applied (the reference's per-light loop
+    multiplies ambient only on light index 0, so 0 lights => raw colors)."""
+    return LightData(
+        ambient=jnp.ones((4,), F32),
+        light_p=jnp.zeros((0, 3), F32),
+        light_intensity=jnp.zeros((0, 4), F32),
+    )
+
+
+class RenderObject(NamedTuple):
+    """One model: triangle soup + per-vertex attributes (+ optional texture).
+
+    ``vertices`` are model-space; ``p`` is the model's camera-space position,
+    added per-vertex exactly as the reference does (projekt.cpp:3900-3903) —
+    there is no rotation in the reference's object transform.
+    """
+
+    p: jnp.ndarray  # (3,) f32
+    vertices: jnp.ndarray  # (V, 3) f32, V = 3 * num_triangles
+    colors: jnp.ndarray  # (V, 4) f32 rgba
+    normals: jnp.ndarray  # (V, 3) f32
+    uvs: jnp.ndarray  # (V, 2) f32
+    texture: Optional[jnp.ndarray] = None  # (Ht, Wt) u32 ARGB or None
+
+    @property
+    def num_triangles(self) -> int:
+        return self.vertices.shape[0] // 3
+
+
+def make_object(p, vertices, colors, normals, uvs, texture=None) -> RenderObject:
+    vertices = jnp.asarray(vertices, F32).reshape(-1, 3)
+    v = vertices.shape[0]
+    assert v % 3 == 0, "triangle soup requires a multiple of 3 vertices"
+    return RenderObject(
+        p=jnp.asarray(p, F32).reshape(3),
+        vertices=vertices,
+        colors=jnp.asarray(colors, F32).reshape(v, 4),
+        normals=jnp.asarray(normals, F32).reshape(v, 3),
+        uvs=jnp.asarray(uvs, F32).reshape(v, 2),
+        texture=None if texture is None else jnp.asarray(texture, jnp.uint32),
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class ObjectConfig:
+    """Static (trace-time) per-object rendering switches.
+
+    phong:     per-pixel Blinn-Phong (reference ``PhongShading`` flag,
+               projekt.h:8). False => Gouraud baked at the vertex stage.
+    textured:  perspective-correct nearest texture sampling (reference
+               ``Object->Bitmap != 0``).
+    uv_mode:   'scalar' = round texcoords, scale by dim-1, clamp indices
+               (projekt.cpp:429-445); 'avx' = truncate, scale by dim,
+               discard fragments with uv outside [0,1] (projekt.cpp:1044-1060).
+               The reference's two paths genuinely differ here (SURVEY §2.1);
+               both are implemented, 'scalar' is the parity default.
+    """
+
+    phong: bool = False
+    textured: bool = False
+    uv_mode: str = "scalar"
+
+
+class Framebuffer(NamedTuple):
+    """Color (u32 ARGB) + depth (f32, larger wins)."""
+
+    color: jnp.ndarray  # (H, W) u32
+    depth: jnp.ndarray  # (H, W) f32
+
+    @property
+    def height(self) -> int:
+        return self.color.shape[0]
+
+    @property
+    def width(self) -> int:
+        return self.color.shape[1]
+
+
+def make_framebuffer(height: int, width: int, clear_color: int = 0) -> Framebuffer:
+    return Framebuffer(
+        color=jnp.full((height, width), clear_color, jnp.uint32),
+        depth=jnp.full((height, width), DEPTH_CLEAR, F32),
+    )
