@@ -7,12 +7,17 @@ vars must be set before the first ``import jax`` anywhere in the process.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+# The environment pins JAX_PLATFORMS=axon (the TPU tunnel); the env var
+# cannot be overridden from outside, so force the CPU backend via config.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -39,9 +39,19 @@ def clamp01(x):
     return jnp.clip(x, F32(0.0), F32(1.0))
 
 
-def inner(a, b, axis=-1):
-    """``Inner``: dot product along the last axis."""
-    return jnp.sum(a * b, axis=axis)
+def inner(a, b):
+    """``Inner``: dot product along the last axis.
+
+    Unrolled left-to-right (((a0*b0 + a1*b1) + a2*b2) ...) so the float32
+    accumulation order is fixed — reduction primitives (jnp.sum, np.dot/BLAS)
+    are free to reassociate, which breaks bit-parity between the JAX path and
+    the NumPy golden.
+    """
+    n = a.shape[-1]
+    acc = a[..., 0] * b[..., 0]
+    for i in range(1, n):
+        acc = acc + a[..., i] * b[..., i]
+    return acc
 
 
 def cross(a, b):
@@ -53,14 +63,15 @@ def cross(a, b):
     )
 
 
-def normalize(v, axis=-1):
-    """``Normalize``: v * (1/sqrt(dot(v, v))).
+def normalize(v):
+    """``Normalize``: v * (1/sqrt(dot(v, v))) along the last axis.
 
     Written as an explicit 1.0/sqrt (NOT lax.rsqrt, which is approximate on
-    TPU) so the result is IEEE and matches the golden reference bit-for-bit
-    on CPU. A zero vector yields inf/nan exactly like the reference would.
+    TPU) with an unrolled fixed-order dot so the result is IEEE and matches
+    the golden reference bit-for-bit on CPU. A zero vector yields inf/nan
+    exactly like the reference would.
     """
-    d = jnp.sum(v * v, axis=axis, keepdims=True)
+    d = inner(v, v)[..., None]
     return v * (F32(1.0) / jnp.sqrt(d))
 
 

@@ -1,0 +1,121 @@
+"""Frame orchestration: the public ``Renderer`` API.
+
+TPU-native equivalent of the reference's absent platform frame loop
+(SURVEY.md §1.1): per object, build the edge table (vertex stage) and draw
+over a shared z-buffer; then pack ARGB. One jitted function per
+scene-signature replaces the per-frame dispatch + work-queue completion
+barrier — the whole frame is a single XLA program.
+
+Draw-path selection (the reference's four DrawModel* variants, SURVEY §1.1)
+maps to ``backend=``:
+  'reference'  pure-JAX scan rasterizer (the scalar DrawModel analog)
+  'pallas'     tile-binned Pallas kernels (the AVX+workqueue analog)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.math import pack_argb
+from ..core.types import (
+    Framebuffer,
+    LightData,
+    ObjectConfig,
+    ProjectiveTransform,
+    RenderObject,
+    make_framebuffer,
+)
+from ..geometry.vertex import setup_triangles
+from ..ops.raster_reference import rasterize_reference
+from ..ops.shading import shade
+
+F32 = jnp.float32
+
+
+def render_object(
+    framebuffer: Framebuffer,
+    obj: RenderObject,
+    transform: ProjectiveTransform,
+    lights: LightData,
+    cfg: ObjectConfig,
+    backend: str = "reference",
+) -> Framebuffer:
+    """Draw one object over the shared framebuffer (FillEdgeTable +
+    DrawModel* pair, SURVEY.md §1.1)."""
+    height, width = framebuffer.height, framebuffer.width
+    edges = setup_triangles(obj, transform, lights, cfg)
+    if backend == "reference":
+        covered, gbuf = rasterize_reference(edges, height, width)
+    elif backend == "pallas":
+        from ..ops.raster_pallas import rasterize_pallas
+
+        covered, gbuf = rasterize_pallas(edges, height, width)
+    else:
+        raise ValueError(f"unknown backend: {backend}")
+
+    rgba, covered = shade(covered, gbuf, transform, lights, cfg, obj.texture)
+    packed = pack_argb(rgba)
+    win = covered & (gbuf[:, :, 0] > framebuffer.depth)
+    return Framebuffer(
+        color=jnp.where(win, packed, framebuffer.color),
+        depth=jnp.where(win, gbuf[:, :, 0], framebuffer.depth),
+    )
+
+
+def render_scene(
+    framebuffer: Framebuffer,
+    scene: Sequence[Tuple[RenderObject, ObjectConfig]],
+    transform: ProjectiveTransform,
+    lights: LightData,
+    backend: str = "reference",
+) -> Framebuffer:
+    """Draw a list of objects in submission order (shared z-buffer)."""
+    for obj, cfg in scene:
+        framebuffer = render_object(
+            framebuffer, obj, transform, lights, cfg, backend
+        )
+    return framebuffer
+
+
+class Renderer:
+    """Jit-compiling frame renderer.
+
+    Static across calls: frame size, object configs, object shapes, backend.
+    Dynamic: vertex data, object positions, camera, lights. A scene signature
+    compiles once; subsequent frames are pure device execution.
+    """
+
+    def __init__(self, height: int, width: int, backend: str = "reference",
+                 clear_color: int = 0):
+        self.height = height
+        self.width = width
+        self.backend = backend
+        self.clear_color = clear_color
+        self._compiled = {}
+
+    def render(
+        self,
+        scene: Sequence[Tuple[RenderObject, ObjectConfig]],
+        transform: ProjectiveTransform,
+        lights: LightData,
+    ) -> Framebuffer:
+        cfgs = tuple(cfg for _, cfg in scene)
+        objs = tuple(obj for obj, _ in scene)
+        key = (cfgs, tuple(o.vertices.shape for o in objs))
+        fn = self._compiled.get(key)
+        if fn is None:
+            @functools.partial(jax.jit, static_argnums=())
+            def fn(objs, transform, lights):
+                fb = make_framebuffer(self.height, self.width, self.clear_color)
+                for obj, cfg in zip(objs, cfgs):
+                    fb = render_object(
+                        fb, obj, transform, lights, cfg, self.backend
+                    )
+                return fb
+
+            self._compiled[key] = fn
+        return fn(objs, transform, lights)

@@ -31,6 +31,15 @@ Documented divergences from the reference binary (SURVEY.md §2.1, §7):
 6. Zero lights + Gouraud leaves edge colors uninitialized in the reference;
    we define them as the raw vertex colors (white if textured).
 
+7. Horizontal clamping: spans whose rounded x lands exactly on W (x in
+   (W-1, W)) write one past the row in the reference (OOB); we clamp to W-1.
+8. Backend rounding: the JAX path is written with the identical op order,
+   but compilers may still deviate by <=1 ulp per op — this XLA CPU build
+   contracts a+b*c into FMA (no flag disables it), and TPU hardware divides
+   via Newton iteration. Measured effect on the BASELINE configs: packed
+   ARGB color bit-exact on >99.8% of pixels, depth within 1 ulp everywhere
+   except <0.5% razor-edge boundary/tie flips (see tests/test_parity_jax.py).
+
 The reference's broken untextured non-Phong AVX pack (projekt.cpp:1459-1467)
 is NOT reproduced; the scalar Gouraud path is canonical (SURVEY §2.1 "bugs").
 """
@@ -71,9 +80,20 @@ def clamp01(x):
     return np.clip(np.asarray(x, F), F(0), F(1))
 
 
+def inner(a, b):
+    """Fixed-order unrolled dot along the last axis (see core.math.inner —
+    reduction primitives reassociate and break bit-parity)."""
+    a = np.asarray(a, F)
+    b = np.asarray(b, F)
+    acc = a[..., 0] * b[..., 0]
+    for i in range(1, a.shape[-1]):
+        acc = acc + a[..., i] * b[..., i]
+    return acc
+
+
 def normalize(v):
     v = np.asarray(v, F)
-    d = np.sum(v * v, axis=-1, keepdims=True, dtype=F)
+    d = inner(v, v)[..., None]
     return v * (F(1) / np.sqrt(d))
 
 
@@ -132,7 +152,7 @@ def gouraud_vertex_color(color, normal, cam_vertex, lights, textured):
     out = base * np.asarray(lights["ambient"], F)
     for k in range(lp.shape[0]):
         to_light = normalize(lp[k] - np.asarray(cam_vertex, F))
-        d = clamp01(np.dot(to_light, np.asarray(normal, F)).astype(F))
+        d = clamp01(inner(to_light, np.asarray(normal, F)))
         out = clamp01(out + d * (base * li[k]))
     return out.astype(F)
 
@@ -232,7 +252,8 @@ def setup_edges(obj, transform, lights, phong=False, textured=False):
 
                 cmin = (F(1) - tt) * cmin + tt * cmax  # top-clip lerp cpp:4091
                 colg = (cmax - cmin) / ydiff
-                ng = (nmax - nmin) / ydiff  # normal NOT clip-lerped (quirk)
+                # normal NOT clip-lerped (quirk); zero (not 0/0) when unused
+                ng = (nmax - nmin) / ydiff if phong else np.zeros(3, F)
 
                 left = F(1) if ymin == roundf(proj[t, i0, 1]) else F(0)
 
@@ -442,9 +463,9 @@ def shade(covered, gbuf, transform, lights, phong=False, texture=None,
             if k == 0:
                 final = base * np.asarray(lights["ambient"], F)
             to_light = normalize(lp[k] - pos)
-            cosi = clamp01(np.sum(nrm * to_light, axis=-1, dtype=F))
+            cosi = clamp01(inner(nrm, to_light))
             half = normalize(to_light + view)
-            spec = pow16(clamp01(np.sum(nrm * half, axis=-1, dtype=F)))
+            spec = pow16(clamp01(inner(nrm, half)))
             final = final + cosi[:, None] * (base * li[k]) + spec[:, None] * (
                 WHITE * li[k]
             )

@@ -1,0 +1,68 @@
+"""Pure-JAX rasterizer: scan over triangles, full-frame span evaluation.
+
+This is the correctness reference for the Pallas tile kernel — same API, same
+``ops.spans`` math, no tiling/binning. It reproduces the reference's
+sequential submission-order depth composition exactly: triangles merge into
+the frame one at a time with the strict-greater z test (projekt.cpp:495), so
+the first writer wins depth ties, exactly like the CPU renderer's in-order
+span fills.
+
+O(T * H * W) — use for tests and small scenes; the production path is
+ops.raster_pallas (tile-binned).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.types import DEPTH_CLEAR
+from ..geometry.vertex import EdgeTable
+from .spans import SpanBlock, TriangleSlice, span_block
+
+F32 = jnp.float32
+
+# G-buffer channels: z, rgba, normal xyz, u/z, v/z, 1/z
+GBUF_CHANNELS = 11
+
+
+def empty_gbuffer(height: int, width: int):
+    covered = jnp.zeros((height, width), bool)
+    gbuf = jnp.zeros((height, width, GBUF_CHANNELS), F32)
+    gbuf = gbuf.at[:, :, 0].set(DEPTH_CLEAR)
+    return covered, gbuf
+
+
+def merge_fragments(covered, gbuf, frag: SpanBlock):
+    """Depth-test a fragment block into the G-buffer (larger z wins, strict >
+    so earlier writers keep ties)."""
+    win = frag.mask & (frag.z > gbuf[:, :, 0])
+    w1 = win[:, :, None]
+    gbuf = jnp.concatenate(
+        [
+            jnp.where(win, frag.z, gbuf[:, :, 0])[:, :, None],
+            jnp.where(w1, frag.col, gbuf[:, :, 1:5]),
+            jnp.where(w1, frag.n, gbuf[:, :, 5:8]),
+            jnp.where(win, frag.u, gbuf[:, :, 8])[:, :, None],
+            jnp.where(win, frag.v, gbuf[:, :, 9])[:, :, None],
+            jnp.where(win, frag.oz, gbuf[:, :, 10])[:, :, None],
+        ],
+        axis=-1,
+    )
+    return covered | win, gbuf
+
+
+def rasterize_reference(edges: EdgeTable, height: int, width: int):
+    """Rasterize all triangles into a fresh (covered, gbuf)."""
+    rows = jnp.arange(height, dtype=F32)
+    cols = jnp.arange(width, dtype=F32)
+
+    def step(carry, tri_fields):
+        covered, gbuf = carry
+        tri = TriangleSlice(*tri_fields)
+        frag = span_block(tri, rows, cols, width)
+        return merge_fragments(covered, gbuf, frag), None
+
+    init = empty_gbuffer(height, width)
+    (covered, gbuf), _ = jax.lax.scan(step, init, tuple(edges))
+    return covered, gbuf
