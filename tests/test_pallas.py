@@ -1,0 +1,108 @@
+"""Pallas fast path (binning + visibility kernel + resolve) vs the pure-JAX
+reference rasterizer. On the CPU test backend the kernel runs in interpreter
+mode; parity budgets are as in test_parity_jax (FMA rounding)."""
+
+import jax
+import numpy as np
+import pytest
+
+from tpu_renderer.core.types import make_framebuffer
+from tpu_renderer.engine.renderer import render_scene
+from tpu_renderer.geometry.vertex import setup_triangles
+from tpu_renderer.golden import cpu_reference as gold
+from tpu_renderer.models import scenes
+from tpu_renderer.ops.binning import bin_triangles
+from tpu_renderer.ops.raster_pallas import rasterize_pallas
+from tpu_renderer.ops.raster_reference import rasterize_reference
+
+F = np.float32
+H = W = 128
+
+
+def edges_for(config):
+    scene_g, tr_d, li_d = scenes.baseline_scene(config, H, W)
+    scene_j, tr, li = scenes.to_jax_scene(scene_g, tr_d, li_d)
+    obj, cfg = scene_j[0]
+    return setup_triangles(obj, tr, li, cfg)
+
+
+class TestBinning:
+    def test_all_triangles_binned_somewhere(self):
+        edges = edges_for(4)  # sphere
+        bins = bin_triangles(edges, H, W, 32, 128, 2208)
+        ids = np.asarray(bins.ids)
+        binned = set(ids[ids >= 0].tolist())
+        # every visible triangle with >=2 active edges appears in some tile
+        valid = np.asarray(edges.valid)
+        ymin, ymax = np.asarray(edges.ymin), np.asarray(edges.ymax)
+        active = valid & (ymax > ymin)
+        expect = set(np.nonzero(active.sum(1) >= 2)[0].tolist())
+        assert expect <= binned
+
+    def test_submission_order_preserved(self):
+        edges = edges_for(4)
+        bins = bin_triangles(edges, H, W, 32, 128, 2208)
+        ids = np.asarray(bins.ids)
+        for t in range(ids.shape[0]):
+            for x in range(ids.shape[1]):
+                lst = ids[t, x]
+                lst = lst[lst >= 0]
+                assert (np.diff(lst) > 0).all()  # strictly increasing
+
+    def test_overflow_counted_not_silent(self):
+        edges = edges_for(4)
+        bins_small = bin_triangles(edges, H, W, 32, 128, 8)
+        assert int(bins_small.n_dropped) > 0
+        bins_big = bin_triangles(edges, H, W, 32, 128, 4096)
+        assert int(bins_big.n_dropped) == 0
+
+    def test_counts_match_ids(self):
+        edges = edges_for(1)
+        bins = bin_triangles(edges, H, W, 32, 128, 16)
+        ids = np.asarray(bins.ids)
+        counts = np.asarray(bins.counts)
+        np.testing.assert_array_equal((ids >= 0).sum(-1), counts)
+
+
+@pytest.mark.parametrize("config", [1, 4])
+def test_pallas_matches_reference_rasterizer(config):
+    edges = edges_for(config)
+    rcov, rgb = jax.jit(rasterize_reference, static_argnums=(1, 2))(
+        edges, H, W
+    )
+    pcov, pgb = jax.jit(rasterize_pallas, static_argnums=(1, 2))(edges, H, W)
+    rcov, rgb = np.asarray(rcov), np.asarray(rgb)
+    pcov, pgb = np.asarray(pcov), np.asarray(pgb)
+
+    np.testing.assert_array_equal(pcov, rcov)
+    # depth: exact or 1-ulp (FMA budget)
+    zr, zp = rgb[:, :, 0], pgb[:, :, 0]
+    ok = (zr == zp) | np.isclose(zr, zp, rtol=1e-6, atol=0.0)
+    assert 1.0 - ok.mean() <= 0.005
+    # attributes bit-exact on pixels where both agree on the winner (same z)
+    m = rcov & pcov & (zr == zp)
+    for ch in range(1, 11):
+        a, b = rgb[:, :, ch][m], pgb[:, :, ch][m]
+        eq = (a == b) | (np.isnan(a) & np.isnan(b))
+        assert eq.mean() > 0.999, f"channel {ch}"
+
+
+def test_pallas_end_to_end_vs_golden():
+    scene_g, tr_d, li_d = scenes.baseline_scene(5, H, W)
+    scene_j, tr, li = scenes.to_jax_scene(scene_g, tr_d, li_d)
+    gc, gd = gold.render(scene_g, tr_d, li_d, H, W)
+    fb = render_scene(make_framebuffer(H, W), scene_j, tr, li,
+                      backend="pallas")
+    jc, jd = np.asarray(fb.color), np.asarray(fb.depth)
+    assert 1.0 - (jc == gc).mean() <= 0.002
+    ok = (jd == gd) | np.isclose(jd, gd, rtol=1e-6, atol=0.0)
+    assert 1.0 - ok.mean() <= 0.005
+
+
+def test_pallas_capacity_overflow_drops_only_late_triangles():
+    # with a tiny capacity the earliest triangles still render
+    edges = edges_for(1)
+    pcov, _ = jax.jit(rasterize_pallas, static_argnums=(1, 2, 3))(
+        edges, H, W, 8
+    )
+    assert np.asarray(pcov).sum() > 0

@@ -43,21 +43,41 @@ def render_object(
     lights: LightData,
     cfg: ObjectConfig,
     backend: str = "reference",
+    frame_height: int | None = None,
+    frame_width: int | None = None,
+    row0=0,
+    col0=0,
 ) -> Framebuffer:
     """Draw one object over the shared framebuffer (FillEdgeTable +
-    DrawModel* pair, SURVEY.md §1.1)."""
+    DrawModel* pair, SURVEY.md §1.1).
+
+    ``framebuffer`` may be a local sub-rect of a larger
+    (frame_height, frame_width) frame with traced origin (row0, col0) —
+    this is how shard_map devices render their tile of the mesh-sharded
+    frame (SURVEY.md §5.8).
+    """
     height, width = framebuffer.height, framebuffer.width
+    if frame_height is None:
+        frame_height = height
+    if frame_width is None:
+        frame_width = width
     edges = setup_triangles(obj, transform, lights, cfg)
     if backend == "reference":
-        covered, gbuf = rasterize_reference(edges, height, width)
+        covered, gbuf = rasterize_reference(
+            edges, height, width, frame_width, row0, col0
+        )
     elif backend == "pallas":
         from ..ops.raster_pallas import rasterize_pallas
 
-        covered, gbuf = rasterize_pallas(edges, height, width)
+        covered, gbuf = rasterize_pallas(
+            edges, height, width, None, frame_height, frame_width, row0, col0
+        )
     else:
         raise ValueError(f"unknown backend: {backend}")
 
-    rgba, covered = shade(covered, gbuf, transform, lights, cfg, obj.texture)
+    rgba, covered = shade(
+        covered, gbuf, transform, lights, cfg, obj.texture, row0, col0
+    )
     packed = pack_argb(rgba)
     win = covered & (gbuf[:, :, 0] > framebuffer.depth)
     return Framebuffer(
@@ -72,11 +92,16 @@ def render_scene(
     transform: ProjectiveTransform,
     lights: LightData,
     backend: str = "reference",
+    frame_height: int | None = None,
+    frame_width: int | None = None,
+    row0=0,
+    col0=0,
 ) -> Framebuffer:
     """Draw a list of objects in submission order (shared z-buffer)."""
     for obj, cfg in scene:
         framebuffer = render_object(
-            framebuffer, obj, transform, lights, cfg, backend
+            framebuffer, obj, transform, lights, cfg, backend,
+            frame_height, frame_width, row0, col0,
         )
     return framebuffer
 

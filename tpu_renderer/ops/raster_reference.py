@@ -52,15 +52,30 @@ def merge_fragments(covered, gbuf, frag: SpanBlock):
     return covered | win, gbuf
 
 
-def rasterize_reference(edges: EdgeTable, height: int, width: int):
-    """Rasterize all triangles into a fresh (covered, gbuf)."""
-    rows = jnp.arange(height, dtype=F32)
-    cols = jnp.arange(width, dtype=F32)
+def rasterize_reference(
+    edges: EdgeTable,
+    height: int,
+    width: int,
+    frame_width: int | None = None,
+    row0=0,
+    col0=0,
+):
+    """Rasterize all triangles into a fresh (covered, gbuf).
+
+    (height, width) is the local extent; (row0, col0) its origin in the
+    global frame (traced — devices under shard_map pass their offsets);
+    frame_width is the GLOBAL width the reference clamps spans against
+    (projekt.cpp:381-400). Single-chip callers leave the defaults.
+    """
+    if frame_width is None:
+        frame_width = width
+    rows = jnp.arange(height, dtype=F32) + jnp.asarray(row0, F32)
+    cols = jnp.arange(width, dtype=F32) + jnp.asarray(col0, F32)
 
     def step(carry, tri_fields):
         covered, gbuf = carry
         tri = TriangleSlice(*tri_fields)
-        frag = span_block(tri, rows, cols, width)
+        frag = span_block(tri, rows, cols, frame_width)
         return merge_fragments(covered, gbuf, frag), None
 
     init = empty_gbuffer(height, width)

@@ -72,13 +72,14 @@ def phong_shade(pos, nrm, base, lights: LightData):
 
 
 def shade(covered, gbuf, transform: ProjectiveTransform, lights: LightData,
-          cfg: ObjectConfig, texture=None):
+          cfg: ObjectConfig, texture=None, row0=0, col0=0):
     """Shade a G-buffer; returns (rgba(H,W,4), covered).
 
     Mirrors golden.cpu_reference.shade: texture replaces the interpolated
     color (so Gouraud+texture = unlit texture, the reference quirk at
     projekt.cpp:427-445 + 513); Phong consumes the (textured or vertex)
-    base color per pixel.
+    base color per pixel. (row0, col0): global origin of the local rect
+    (Phong unprojection needs global pixel coordinates).
     """
     height, width = covered.shape
     col = gbuf[:, :, 1:5]
@@ -95,9 +96,13 @@ def shade(covered, gbuf, transform: ProjectiveTransform, lights: LightData,
     if not cfg.phong:
         return col, covered
 
-    px = jnp.broadcast_to(jnp.arange(width, dtype=F32)[None, :], covered.shape)
+    px = jnp.broadcast_to(
+        (jnp.arange(width, dtype=F32) + jnp.asarray(col0, F32))[None, :],
+        covered.shape,
+    )
     py = jnp.broadcast_to(
-        jnp.arange(height, dtype=F32)[:, None], covered.shape
+        (jnp.arange(height, dtype=F32) + jnp.asarray(row0, F32))[:, None],
+        covered.shape,
     )
     pos = unproject_vertices(px, py, gbuf[:, :, 0], transform)
     nrm = normalize(gbuf[:, :, 5:8])  # divergence #3: single normalize
