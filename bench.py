@@ -65,20 +65,38 @@ def measure_tpu_fps():
 
 
 def measure_cpu_fps():
-    """One golden frame at the same config (cached across runs)."""
+    """CPU baseline fps at the same config (cached across runs).
+
+    Preferred baseline: the native C++ golden (faithful reference semantics,
+    -O3 -march=native, multithreaded); falls back to the NumPy golden when
+    no toolchain is available.
+    """
     if os.path.exists(CACHE):
         with open(CACHE) as f:
             return json.load(f)["cpu_fps"]
-    from tpu_renderer.golden import cpu_reference as gold
     from tpu_renderer.models import scenes
 
     scene_g, tr_d, li_d = scenes.baseline_scene(CONFIG, HEIGHT, WIDTH)
-    t0 = time.perf_counter()
-    gold.render(scene_g, tr_d, li_d, HEIGHT, WIDTH)
-    dt = time.perf_counter() - t0
+    from tpu_renderer.golden import native
+
+    if native.available():
+        native.render(scene_g, tr_d, li_d, 64, 64)  # warm up / build
+        iters = 5
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            native.render(scene_g, tr_d, li_d, HEIGHT, WIDTH)
+        dt = (time.perf_counter() - t0) / iters
+        baseline = "native-avx"
+    else:
+        from tpu_renderer.golden import cpu_reference as gold
+
+        t0 = time.perf_counter()
+        gold.render(scene_g, tr_d, li_d, HEIGHT, WIDTH)
+        dt = time.perf_counter() - t0
+        baseline = "numpy"
     cpu_fps = 1.0 / dt
     with open(CACHE, "w") as f:
-        json.dump({"cpu_fps": cpu_fps, "config": CONFIG,
+        json.dump({"cpu_fps": cpu_fps, "config": CONFIG, "kind": baseline,
                    "resolution": [HEIGHT, WIDTH]}, f)
     return cpu_fps
 
