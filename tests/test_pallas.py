@@ -70,7 +70,7 @@ def test_pallas_matches_reference_rasterizer(config):
     rcov, rgb = jax.jit(rasterize_reference, static_argnums=(1, 2))(
         edges, H, W
     )
-    pcov, pgb = jax.jit(rasterize_pallas, static_argnums=(1, 2))(edges, H, W)
+    pcov, pgb, _ = jax.jit(rasterize_pallas, static_argnums=(1, 2))(edges, H, W)
     rcov, rgb = np.asarray(rcov), np.asarray(rgb)
     pcov, pgb = np.asarray(pcov), np.asarray(pgb)
 
@@ -100,9 +100,11 @@ def test_pallas_end_to_end_vs_golden():
 
 
 def test_pallas_capacity_overflow_drops_only_late_triangles():
-    # with a tiny capacity the earliest triangles still render
-    edges = edges_for(1)
-    pcov, _ = jax.jit(rasterize_pallas, static_argnums=(1, 2, 3))(
+    # with a tiny capacity the earliest triangles still render and the
+    # drop count is reported
+    edges = edges_for(4)  # sphere, thousands of triangles
+    pcov, _, pstats = jax.jit(rasterize_pallas, static_argnums=(1, 2, 3))(
         edges, H, W, 8
     )
+    assert int(pstats["bins_dropped"]) > 0
     assert np.asarray(pcov).sum() > 0

@@ -47,6 +47,8 @@ def render_object(
     frame_width: int | None = None,
     row0=0,
     col0=0,
+    capacity: int | None = None,
+    stats: dict | None = None,
 ) -> Framebuffer:
     """Draw one object over the shared framebuffer (FillEdgeTable +
     DrawModel* pair, SURVEY.md §1.1).
@@ -69,9 +71,14 @@ def render_object(
     elif backend == "pallas":
         from ..ops.raster_pallas import rasterize_pallas
 
-        covered, gbuf = rasterize_pallas(
-            edges, height, width, None, frame_height, frame_width, row0, col0
+        covered, gbuf, rstats = rasterize_pallas(
+            edges, height, width, capacity, frame_height, frame_width,
+            row0, col0,
         )
+        if stats is not None:
+            stats["bins_dropped"] = (
+                stats.get("bins_dropped", 0) + rstats["bins_dropped"]
+            )
     else:
         raise ValueError(f"unknown backend: {backend}")
 
@@ -96,12 +103,14 @@ def render_scene(
     frame_width: int | None = None,
     row0=0,
     col0=0,
+    capacity: int | None = None,
+    stats: dict | None = None,
 ) -> Framebuffer:
     """Draw a list of objects in submission order (shared z-buffer)."""
     for obj, cfg in scene:
         framebuffer = render_object(
             framebuffer, obj, transform, lights, cfg, backend,
-            frame_height, frame_width, row0, col0,
+            frame_height, frame_width, row0, col0, capacity, stats,
         )
     return framebuffer
 
@@ -115,11 +124,12 @@ class Renderer:
     """
 
     def __init__(self, height: int, width: int, backend: str = "reference",
-                 clear_color: int = 0):
+                 clear_color: int = 0, capacity: int | None = None):
         self.height = height
         self.width = width
         self.backend = backend
         self.clear_color = clear_color
+        self.capacity = capacity  # per-tile triangle list size (pallas)
         self._compiled = {}
 
     def render(
@@ -127,20 +137,26 @@ class Renderer:
         scene: Sequence[Tuple[RenderObject, ObjectConfig]],
         transform: ProjectiveTransform,
         lights: LightData,
-    ) -> Framebuffer:
+        with_stats: bool = False,
+    ):
+        """Render a frame. with_stats=True additionally returns a dict of
+        render statistics (e.g. 'bins_dropped': triangles dropped by tile
+        capacity overflow — nonzero means raise ``capacity``)."""
         cfgs = tuple(cfg for _, cfg in scene)
         objs = tuple(obj for obj, _ in scene)
-        key = (cfgs, tuple(o.vertices.shape for o in objs))
+        key = (cfgs, tuple(o.vertices.shape for o in objs), with_stats)
         fn = self._compiled.get(key)
         if fn is None:
-            @functools.partial(jax.jit, static_argnums=())
+            @jax.jit
             def fn(objs, transform, lights):
                 fb = make_framebuffer(self.height, self.width, self.clear_color)
+                stats = {}
                 for obj, cfg in zip(objs, cfgs):
                     fb = render_object(
-                        fb, obj, transform, lights, cfg, self.backend
+                        fb, obj, transform, lights, cfg, self.backend,
+                        capacity=self.capacity, stats=stats,
                     )
-                return fb
+                return (fb, stats) if with_stats else fb
 
             self._compiled[key] = fn
         return fn(objs, transform, lights)

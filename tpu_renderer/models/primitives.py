@@ -87,6 +87,46 @@ def construct_quad(size: float = 1.0, color=(1, 1, 1, 1)):
     )
 
 
+def construct_sphere_grid(lat_steps: int, lon_steps: int, radius: float = 0.5):
+    """Vectorized dense UV sphere for performance testing.
+
+    Same geometry family as the reference generator but built with numpy
+    broadcasting so multi-million-triangle meshes generate in milliseconds
+    (the faithful generator in models/sphere.py uses per-vertex Python loops
+    and stays the parity fixture). Body quads only (no pole fans):
+    2 * lat_steps * lon_steps triangles.
+    """
+    lat = np.linspace(0, np.pi, lat_steps + 1, dtype=F)  # inclination
+    lon = np.linspace(0, 2 * np.pi, lon_steps + 1, dtype=F)
+    inc, az = np.meshgrid(lat, lon, indexing="ij")  # (lat+1, lon+1)
+    pts = np.stack(
+        [np.sin(inc) * np.cos(az), np.cos(inc), np.sin(inc) * np.sin(az)],
+        axis=-1,
+    ).astype(F)  # (lat+1, lon+1, 3) unit directions
+
+    p00 = pts[:-1, :-1].reshape(-1, 3)
+    p10 = pts[1:, :-1].reshape(-1, 3)
+    p11 = pts[1:, 1:].reshape(-1, 3)
+    p01 = pts[:-1, 1:].reshape(-1, 3)
+    # two triangles per quad, wound like the reference body quads
+    dirs = np.concatenate(
+        [
+            np.stack([p00, p11, p10], axis=1).reshape(-1, 3),
+            np.stack([p00, p01, p11], axis=1).reshape(-1, 3),
+        ]
+    ).astype(F)
+    verts = (F(radius) * dirs).astype(F)
+    colors = np.concatenate(
+        [
+            (dirs + F(1)) / F(2),
+            np.ones((len(dirs), 1), F),
+        ],
+        axis=1,
+    ).astype(F)
+    uvs = ((dirs[:, :2] + F(1)) / F(2)).astype(F)
+    return dict(vertices=verts, colors=colors, normals=dirs, uvs=uvs)
+
+
 def construct_torus(major: float = 0.35, minor: float = 0.15,
                     major_steps: int = 32, minor_steps: int = 16):
     """Smooth torus with per-vertex normals and a hue ramp — the 'smooth

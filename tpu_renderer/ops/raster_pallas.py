@@ -290,7 +290,11 @@ def rasterize_pallas(
     sub-rect of a larger frame (mesh sharding)."""
     T = edges.num_triangles
     if capacity is None:
-        capacity = max(CHUNK_T, -(-T // CHUNK_T) * CHUNK_T)
+        # Per-tile list capacity: all triangles for small scenes, else a cap
+        # that keeps the kernel's record block comfortably inside VMEM
+        # (4096 * 128 lanes * 4 B = 2 MB). Drops are counted in the returned
+        # stats — raise `capacity` if stats['bins_dropped'] is nonzero.
+        capacity = min(max(CHUNK_T, -(-T // CHUNK_T) * CHUNK_T), 4096)
     if frame_height is None:
         frame_height = height
     if frame_width is None:
@@ -306,4 +310,5 @@ def rasterize_pallas(
         edges, z, idx, height, width, frame_width=frame_width,
         row0=row0, col0=col0,
     )
-    return covered, gbuf
+    stats = {"bins_dropped": bins.n_dropped}
+    return covered, gbuf, stats

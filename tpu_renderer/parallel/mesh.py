@@ -168,7 +168,7 @@ def render_scene_geometry_sharded(
             if backend == "pallas":
                 from ..ops.raster_pallas import rasterize_pallas
 
-                covered, gbuf = rasterize_pallas(
+                covered, gbuf, _ = rasterize_pallas(
                     edges, lh, lw, None, height, width, row0, col0
                 )
             else:
