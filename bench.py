@@ -26,41 +26,59 @@ CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 
 def measure_tpu_fps():
-    import jax
+    """Device throughput via an in-graph frame loop.
 
+    ITERS frames run inside one compiled lax.scan with per-frame varying
+    rotation and a chained carry, then ONE host fetch forces completion —
+    this defeats both async-dispatch under-counting and any runtime caching
+    of identical executions (both observed on tunneled TPU runtimes; naive
+    block_until_ready timing here can be off by orders of magnitude).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpu_renderer.core.math import pack_argb
     from tpu_renderer.core.types import make_framebuffer
     from tpu_renderer.engine.renderer import render_scene
+    from tpu_renderer.geometry.transform import rotate_object, rotation_y
     from tpu_renderer.models import scenes
 
     scene_g, tr_d, li_d = scenes.baseline_scene(CONFIG, HEIGHT, WIDTH)
     scene_j, transform, lights = scenes.to_jax_scene(scene_g, tr_d, li_d)
-    objs = tuple(o for o, _ in scene_j)
+    objs = tuple(jax.device_put(o) for o, _ in scene_j)
     cfgs = tuple(c for _, c in scene_j)
 
     @jax.jit
-    def step(objs, transform, lights):
-        fb = render_scene(
-            make_framebuffer(HEIGHT, WIDTH),
-            list(zip(objs, cfgs)),
-            transform,
-            lights,
-            backend="pallas",
-        )
-        return fb.color, fb.depth
+    def frames(objs, transform, lights, angles):
+        def body(carry, angle):
+            a = angle + carry * jnp.float32(1e-30)  # chain frames
+            spun = tuple(rotate_object(o, rotation_y(a)) for o in objs)
+            fb = render_scene(
+                make_framebuffer(HEIGHT, WIDTH),
+                list(zip(spun, cfgs)),
+                transform,
+                lights,
+                backend="pallas",
+            )
+            check = jnp.sum(
+                jnp.where(fb.depth > -3.0e38, fb.depth, 0.0)
+            ) + (fb.color[13, 17] & 255).astype(jnp.float32)
+            covered = jnp.sum((fb.depth > -3.0e38).astype(jnp.int32))
+            return carry + check * jnp.float32(1e-20), covered
+        return jax.lax.scan(body, jnp.float32(0.0), angles)
 
-    for _ in range(WARMUP):
-        out = step(objs, transform, lights)
-    jax.block_until_ready(out)
+    angles = jnp.linspace(0.0, 0.6, ITERS).astype(jnp.float32)
+    out = frames(objs, transform, lights, angles)
+    _ = float(out[0])  # compile + warm
+
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = step(objs, transform, lights)
-    jax.block_until_ready(out)
+    out = frames(objs, transform, lights, angles)
+    _ = float(out[0])  # single fetch forces the whole chain
     dt = (time.perf_counter() - t0) / ITERS
 
-    import numpy as np
-
     tris = sum(int(o.vertices.shape[0]) // 3 for o in objs)
-    covered = int((np.asarray(out[1]) > -3.0e38).sum())
+    covered = int(np.asarray(out[1])[-1])
     return 1.0 / dt, tris, covered
 
 

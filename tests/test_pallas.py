@@ -64,13 +64,16 @@ class TestBinning:
         np.testing.assert_array_equal((ids >= 0).sum(-1), counts)
 
 
+@pytest.mark.parametrize("strategy", ["mask", "sorted"])
 @pytest.mark.parametrize("config", [1, 4])
-def test_pallas_matches_reference_rasterizer(config):
+def test_pallas_matches_reference_rasterizer(config, strategy):
     edges = edges_for(config)
     rcov, rgb = jax.jit(rasterize_reference, static_argnums=(1, 2))(
         edges, H, W
     )
-    pcov, pgb, _ = jax.jit(rasterize_pallas, static_argnums=(1, 2))(edges, H, W)
+    pcov, pgb, _ = jax.jit(rasterize_pallas, static_argnums=(1, 2, 3, 8))(
+        edges, H, W, None, None, None, 0, 0, strategy
+    )
     rcov, rgb = np.asarray(rcov), np.asarray(rgb)
     pcov, pgb = np.asarray(pcov), np.asarray(pgb)
 
@@ -103,8 +106,52 @@ def test_pallas_capacity_overflow_drops_only_late_triangles():
     # with a tiny capacity the earliest triangles still render and the
     # drop count is reported
     edges = edges_for(4)  # sphere, thousands of triangles
-    pcov, _, pstats = jax.jit(rasterize_pallas, static_argnums=(1, 2, 3))(
-        edges, H, W, 8
-    )
+    pcov, _, pstats = jax.jit(
+        rasterize_pallas, static_argnums=(1, 2, 3, 8)
+    )(edges, H, W, 8, None, None, 0, 0, "mask")
     assert int(pstats["bins_dropped"]) > 0
     assert np.asarray(pcov).sum() > 0
+
+
+class TestQueueBinning:
+    def test_invariants(self):
+        from tpu_renderer.ops.binning import bin_triangles_queue
+
+        edges = edges_for(4)
+        q = bin_triangles_queue(edges, H, W, 32, 128, 64)
+        starts = np.asarray(q.blk_start)
+        items = np.asarray(q.item_start)
+        counts = np.asarray(q.counts)
+        wi = np.asarray(q.wi_tile)
+        ntiles = counts.shape[0] - 1
+        # per-tile block ranges are disjoint and ordered
+        assert (np.diff(starts[:-1]) >= 1).all()
+        # work items are tile-sorted with the dummy tail last
+        assert (np.diff(wi) >= 0).all()
+        # every tile has at least one work item
+        for t in range(ntiles):
+            assert items[t + 1] - items[t] >= 1
+        # aligned entries of tile t are exactly its kept count, in
+        # ascending (submission) order
+        at = np.asarray(q.aligned_tri)
+        for t in range(0, ntiles, 7):
+            lo = starts[t] * 64
+            seg = at[lo : lo + counts[t]]
+            assert (seg >= 0).all()
+            assert (np.diff(seg) > 0).all()
+
+    def test_merge_by_gid_tie_break(self):
+        from tpu_renderer.ops.raster_pallas import _merge_by_gid
+        import jax.numpy as jnp
+
+        z_a = jnp.float32([[1.0, 2.0, -3.4028235e38]])
+        g_a = jnp.int32([[5, 7, -1]])
+        z_b = jnp.float32([[1.0, 3.0, 0.5]])
+        g_b = jnp.int32([[3, 9, 2]])
+        z, g = _merge_by_gid(z_a, g_a, z_b, g_b)
+        # equal z: smaller gid (earlier submission) wins
+        assert int(g[0, 0]) == 3
+        # larger z wins
+        assert int(g[0, 1]) == 9
+        # covered beats uncovered
+        assert int(g[0, 2]) == 2

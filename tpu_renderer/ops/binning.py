@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ..geometry.vertex import EdgeTable
@@ -136,4 +137,164 @@ def bin_triangles(
         ids=ids.reshape(tiles_y, tiles_x, capacity),
         counts=counts.reshape(tiles_y, tiles_x),
         n_dropped=n_dropped,
+    )
+
+
+
+class QueueBins(NamedTuple):
+    """Work-queue bins for large triangle counts (no per-tile capacity).
+
+    Each triangle expands to <= ``expansion`` (tile, id) entries, stably
+    sorted by tile, then re-laid-out so every tile's entry list starts at a
+    block boundary of size ``blk``. The rasterizer becomes a 1D grid over
+    work items, one per (tile, block): scalar-prefetched arrays steer which
+    record block and which output tile each grid step touches (consecutive
+    items share a tile, so the output block stays resident in VMEM).
+
+    The SMEM footprint is one i32 per work item (``wi_tile``) plus three
+    small per-tile arrays — everything else is derived in-kernel:
+    ci = g - item_start[tile], block = blk_start[tile] + ci,
+    base = ci * blk, n = counts[tile] - base. Tile index ``ntiles`` is the
+    dummy-tail sentinel absorbing padding work items.
+
+    Triangles whose bbox covers more tiles than ``expansion`` go to the
+    fixed-capacity ``large_ids`` side list (rasterized by a mask-strategy
+    pass over every tile and merged by (z, global id)).
+    """
+
+    aligned_tri: jnp.ndarray  # (EB,) i32 triangle id per entry (-1 pad)
+    blk_start: jnp.ndarray  # (ntiles + 1,) i32 first record block per tile
+    item_start: jnp.ndarray  # (ntiles + 1,) i32 first work item per tile
+    counts: jnp.ndarray  # (ntiles + 1,) i32 kept entries per tile
+    wi_tile: jnp.ndarray  # (MAXW,) i32 work item -> tile (ntiles = dummy)
+    large_ids: jnp.ndarray  # (Lcap,) i32, -1 padded
+    n_large: jnp.ndarray  # () i32
+    n_dropped: jnp.ndarray  # () i32 entry-budget + large-list drops
+
+
+def bin_triangles_queue(
+    edges: EdgeTable,
+    height: int,
+    width: int,
+    tile_h: int,
+    tile_w: int,
+    blk: int,
+    expansion: int = 8,
+    budget_factor: int = 2,
+    large_capacity: int = 256,
+    frame_height: int | None = None,
+    frame_width: int | None = None,
+    row0=0,
+    col0=0,
+) -> QueueBins:
+    """Scalable binning: expand + stable-sort + block-aligned relayout.
+
+    O(T log T) instead of the mask strategy's O(T * tiles); the only scatter
+    is one elementwise relayout of ~1-2 entries per triangle. The static
+    entry budget is ``budget_factor * T + ntiles * blk`` — overflow beyond
+    it is dropped and counted (raise budget_factor if n_dropped > 0).
+    """
+    if frame_height is None:
+        frame_height = height
+    if frame_width is None:
+        frame_width = width
+    tiles_y = -(-height // tile_h)
+    tiles_x = -(-width // tile_w)
+    ntiles = tiles_y * tiles_x
+    T = edges.num_triangles
+
+    tri_valid, ylo, yhi, xlo, xhi = triangle_bbox(
+        edges, frame_height, frame_width
+    )
+    ylo = ylo - jnp.asarray(row0, F32)
+    yhi = yhi - jnp.asarray(row0, F32)
+    xlo = xlo - jnp.asarray(col0, F32)
+    xhi = xhi - jnp.asarray(col0, F32)
+
+    ty_lo = jnp.clip(jnp.floor(ylo / F32(tile_h)).astype(jnp.int32), 0, tiles_y)
+    ty_hi = jnp.clip(jnp.ceil(yhi / F32(tile_h)).astype(jnp.int32), 0, tiles_y)
+    tx_lo = jnp.clip(jnp.floor(xlo / F32(tile_w)).astype(jnp.int32), 0, tiles_x)
+    tx_hi = jnp.clip(
+        jnp.floor(xhi / F32(tile_w)).astype(jnp.int32) + 1, 0, tiles_x
+    )
+    wy = jnp.maximum(ty_hi - ty_lo, 0)
+    wx = jnp.maximum(tx_hi - tx_lo, 0)
+    n_tiles = jnp.where(tri_valid, wy * wx, 0)  # (T,)
+
+    small = (n_tiles > 0) & (n_tiles <= expansion)
+    large = n_tiles > expansion
+
+    # Expansion slots: slot j covers tile (ty_lo + j // wx, tx_lo + j % wx).
+    j = jnp.arange(expansion, dtype=jnp.int32)[None, :]
+    wx_safe = jnp.maximum(wx, 1)[:, None]
+    tile = (ty_lo[:, None] + j // wx_safe) * tiles_x + (tx_lo[:, None] + j % wx_safe)
+    slot_ok = small[:, None] & (j < n_tiles[:, None])
+    entry_tile = jnp.where(slot_ok, tile, ntiles).reshape(-1)  # sentinel last
+    entry_tri = jnp.broadcast_to(
+        jnp.arange(T, dtype=jnp.int32)[:, None], (T, expansion)
+    ).reshape(-1)
+
+    # Stable sort by tile keeps triangle-major (= submission) order per tile.
+    sorted_tile, sorted_tri = jax.lax.sort(
+        (entry_tile, entry_tri), num_keys=1, is_stable=True
+    )
+    starts = jnp.searchsorted(
+        sorted_tile, jnp.arange(ntiles + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    n_t = starts[1:] - starts[:-1]  # (ntiles,) real entries per tile
+
+    # Block-aligned relayout within a static entry budget.
+    entry_budget = budget_factor * max(T, blk) + ntiles * blk
+    entry_budget = -(-entry_budget // blk) * blk
+    nblk_full = jnp.maximum(-(-n_t // blk), 1)  # >=1 so every tile is visited
+    blk_start = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(nblk_full)[:-1].astype(jnp.int32)]
+    )
+    keep_t = jnp.clip(entry_budget - blk_start * blk, 0, n_t)
+    entry_drops = jnp.sum(n_t - keep_t)
+
+    i = jnp.arange(sorted_tile.shape[0], dtype=jnp.int32)
+    tile_i = jnp.minimum(sorted_tile, ntiles - 1)
+    rank = i - starts[tile_i]
+    dst = blk_start[tile_i] * blk + rank
+    valid_entry = (sorted_tile < ntiles) & (rank < keep_t[tile_i])
+    dst = jnp.where(valid_entry, dst, entry_budget)
+    aligned_tri = jnp.full((entry_budget + 1,), -1, jnp.int32)
+    aligned_tri = aligned_tri.at[dst].set(sorted_tri, mode="drop")[:entry_budget]
+
+    # Work items: one per (tile, block), tiles in order, blocks in order.
+    nblk_kept = jnp.maximum(-(-keep_t // blk), 1)
+    cum_blk = jnp.cumsum(nblk_kept).astype(jnp.int32)  # inclusive
+    total_items = cum_blk[-1]
+    item_start = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), cum_blk]
+    )  # (ntiles + 1,); [ntiles] = total_items = first dummy item
+    maxw = entry_budget // blk + ntiles
+    g = jnp.arange(maxw, dtype=jnp.int32)
+    tile_of_g = jnp.searchsorted(cum_blk, g, side="right").astype(jnp.int32)
+    wi_tile = jnp.where(g < total_items, tile_of_g, ntiles)
+
+    # Large-triangle side list (compacted, submission order).
+    pos = jnp.cumsum(large.astype(jnp.int32)) - 1
+    n_large = jnp.sum(large.astype(jnp.int32))
+    keep = large & (pos < large_capacity)
+    scatter_pos = jnp.where(keep, pos, large_capacity)
+    large_ids = jnp.full((large_capacity + 1,), -1, jnp.int32)
+    large_ids = large_ids.at[scatter_pos].set(
+        jnp.arange(T, dtype=jnp.int32), mode="drop"
+    )[:large_capacity]
+
+    return QueueBins(
+        aligned_tri=aligned_tri,
+        blk_start=jnp.concatenate(
+            [blk_start, jnp.zeros((1,), jnp.int32)]
+        ),
+        item_start=item_start,
+        counts=jnp.concatenate([keep_t, jnp.zeros((1,), jnp.int32)]).astype(
+            jnp.int32
+        ),
+        wi_tile=wi_tile,
+        large_ids=large_ids,
+        n_large=jnp.minimum(n_large, large_capacity),
+        n_dropped=entry_drops + jnp.maximum(n_large - large_capacity, 0),
     )

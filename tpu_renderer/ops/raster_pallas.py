@@ -18,11 +18,27 @@ Visibility-buffer design, TPU-first (SURVEY.md §7):
    per-fragment color/uv/normal work the CPU renderer did for losing
    fragments is never done at all.
 
-The kernel consumes a packed per-triangle "z-record": 3 edges x 8 scalars
-[valid, ymin, ymax, x0, xg, z0, zg, left] = 24 f32 lanes padded to a
-(K, 32) VMEM block. Coverage/z formulas are the closed forms of ops.spans,
-so results match the pure-JAX reference path exactly (modulo backend FMA
-rounding, golden divergence #8).
+Two binning strategies feed the kernel (chosen by ``strategy=``, 'auto'
+picks by triangle count):
+
+- 'mask'   (small scenes): dense (T, tiles) mask -> padded per-tile lists
+  delivered as pipelined VMEM blocks. Simple, zero-latency block delivery,
+  but the mask matrix and its scatter scale O(T * tiles).
+- 'sorted' (large scenes): each triangle expands to <= 8 (tile, id) entries,
+  stably sorted by tile and re-laid-out block-aligned; the kernel becomes a
+  1D grid over (tile, block) work items whose record blocks are steered by
+  scalar-prefetched indices (PrefetchScalarGridSpec) — the Pallas pipeline
+  streams exactly each tile's contiguous range, double-buffered. No
+  per-tile capacity, no O(T*tiles) scatter, O(T log T) total. Triangles
+  spanning more tiles than the expansion go to a small side list rasterized
+  by a mask-strategy pass over all tiles, merged by (z, global id) — which
+  preserves the reference's submission-order depth ties exactly.
+
+The kernels consume a packed per-triangle "z-record": 3 edges x 8 scalars
+[valid, ymin, ymax, x0, xg, z0, zg, left] = 24 f32 lanes padded to 32.
+Coverage/z formulas are the closed forms of ops.spans, so results match the
+pure-JAX reference path exactly (modulo backend FMA rounding, golden
+divergence #8).
 """
 
 from __future__ import annotations
@@ -37,7 +53,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.math import round_half_away
 from ..core.types import DEPTH_CLEAR
 from ..geometry.vertex import EdgeTable
-from .binning import TileBins, bin_triangles
+from .binning import QueueBins, TileBins, bin_triangles, bin_triangles_queue
 from .resolve import resolve_gbuffer
 
 F32 = jnp.float32
@@ -45,8 +61,10 @@ F32 = jnp.float32
 TILE_H = 32
 TILE_W = 128
 CHUNK_T = 8  # triangles evaluated per vector step
+QUEUE_BLK = 64  # sorted-strategy: entries per pipelined record block
 REC_WIDTH = 32  # padded record lanes (24 used)
 _BIG = 3.4028235e38
+AUTO_SORTED_THRESHOLD = 512  # auto switches to sorted binning above this
 
 
 def pack_z_records(edges: EdgeTable) -> jnp.ndarray:
@@ -68,141 +86,154 @@ def pack_z_records(edges: EdgeTable) -> jnp.ndarray:
     return jnp.pad(rec, ((0, 0), (0, REC_WIDTH - rec.shape[1])))
 
 
-def _visibility_kernel(count_ref, origin_ref, rec_ref, z_ref, idx_ref, *,
-                       frame_width, capacity):
-    """One framebuffer tile: merge all binned triangles' coverage+z.
+def _chunk_update(rec, slot0, n_rel, yf, xc, w_f, z_ref, idx_ref):
+    """Merge CHUNK_T triangles' coverage+z into the tile refs.
 
-    Outputs: z (tile) and the winning *slot* index into the tile's bin list
-    (-1 = empty); slots are in submission order, so smaller slot == earlier
-    triangle and the strict-greater merge reproduces the reference's
-    first-writer-wins tie rule.
+    rec: (CHUNK_T, REC_WIDTH) records; slot0: scalar slot index of rec[0];
+    n_rel: scalar count of valid records in this chunk (<= CHUNK_T) —
+    entries at or past n_rel are masked (in the sorted strategy they belong
+    to the next tile's range).
     """
+
+    def field(e, j):
+        return rec[:, e * 8 + j][:, None, None]  # (C, 1, 1)
+
+    # Per-edge row values (lists of (C, R, 1) arrays).
+    act, xs, zs, xgs, lefts = [], [], [], [], []
+    for e in range(3):
+        valid_e = field(e, 0) > F32(0.5)
+        ymin_e, ymax_e = field(e, 1), field(e, 2)
+        dy = yf - ymin_e
+        act.append(valid_e & (ymin_e <= yf) & (yf < ymax_e))
+        xs.append(field(e, 3) + dy * field(e, 4))
+        zs.append(field(e, 5) + dy * field(e, 6))
+        xgs.append(field(e, 4))
+        lefts.append(field(e, 7))
+
+    # AET ordering (projekt.cpp:212-216): lexicographic (x, xg, left, e).
+    big = F32(_BIG)
+    kx = [jnp.where(act[e], xs[e], big) for e in range(3)]
+    kg = [jnp.where(act[e], xgs[e], big) for e in range(3)]
+    kl = [jnp.where(act[e], lefts[e], big) for e in range(3)]
+
+    def less(i, j):
+        return (kx[i] < kx[j]) | (
+            (kx[i] == kx[j])
+            & (
+                (kg[i] < kg[j])
+                | (
+                    (kg[i] == kg[j])
+                    & ((kl[i] < kl[j]) | ((kl[i] == kl[j]) & (i < j)))
+                )
+            )
+        )
+
+    rank = []
+    for i in range(3):
+        cnt = None
+        for j in range(3):
+            if j == i:
+                continue
+            t = less(j, i).astype(jnp.int32)
+            cnt = t if cnt is None else cnt + t
+        rank.append(cnt)
+
+    def pick(vals, r):
+        return jnp.where(
+            rank[0] == r, vals[0],
+            jnp.where(rank[1] == r, vals[1], vals[2]),
+        )
+
+    xl, xr = pick(xs, 0), pick(xs, 1)  # (C, R, 1)
+    zl, zr = pick(zs, 0), pick(zs, 1)
+    cidx = jax.lax.broadcasted_iota(jnp.int32, (CHUNK_T, 1, 1), 0)
+    nact = (
+        act[0].astype(jnp.int32)
+        + act[1].astype(jnp.int32)
+        + act[2].astype(jnp.int32)
+    )
+    span_ok = (nact >= 2) & (cidx < n_rel)  # (C, R, 1)
+
+    # Span setup + pixel coverage/z (projekt.cpp:306-529, closed form).
+    xd = round_half_away(xr - xl)
+    zinc = jnp.where(xd != F32(0.0), (zr - zl) / xd, F32(0.0))
+    xoff = jnp.where(xl < F32(0.0), -xl, F32(0.0))
+    lx = jnp.where(
+        xl < F32(0.0), F32(0.0),
+        jnp.where(xl >= w_f, w_f - F32(1.0), xl),
+    )
+    rx = jnp.where(
+        xr < F32(0.0), F32(0.0),
+        jnp.where(xr >= w_f, w_f - F32(1.0), xr),
+    )
+    minx = jnp.minimum(round_half_away(lx), w_f - F32(1.0))
+    maxx = jnp.minimum(round_half_away(rx), w_f - F32(1.0))
+
+    inspan = span_ok & (xc >= minx) & (xc <= maxx)  # (C, R, W)
+    k = xoff + (xc - minx)
+    zfrag = zl + k * zinc  # (C, R, W)
+
+    # Fold the chunk: earlier (smaller slot) wins ties.
+    best_z = jnp.full((TILE_H, TILE_W), DEPTH_CLEAR, F32)
+    best_i = jnp.full((TILE_H, TILE_W), jnp.int32(-1))
+    for c in range(CHUNK_T):
+        zc = jnp.where(inspan[c], zfrag[c], DEPTH_CLEAR)
+        win = zc > best_z
+        best_z = jnp.where(win, zc, best_z)
+        best_i = jnp.where(win, slot0 + c, best_i)
+
+    win = best_z > z_ref[:]
+    z_ref[:] = jnp.where(win, best_z, z_ref[:])
+    idx_ref[:] = jnp.where(win, best_i, idx_ref[:])
+
+
+def _tile_coords(origin_ref):
     ty = pl.program_id(0)
     tx = pl.program_id(1)
-
     rows = (
         jax.lax.broadcasted_iota(jnp.int32, (TILE_H, 1), 0)
         + (origin_ref[0] + ty * TILE_H)
-    ).astype(F32)  # (R, 1) global frame rows
+    ).astype(F32)
     cols = (
         jax.lax.broadcasted_iota(jnp.int32, (1, TILE_W), 1)
         + (origin_ref[1] + tx * TILE_W)
-    ).astype(F32)  # (1, W) global frame cols
+    ).astype(F32)
+    return rows[None, :, :], cols[None, :, :]  # (1,R,1), (1,1,W)
+
+
+def _visibility_kernel(count_ref, origin_ref, rec_ref, z_ref, idx_ref, *,
+                       frame_width, capacity):
+    """Mask-strategy kernel: per-tile padded record block (pipelined VMEM).
+
+    Outputs z and the winning *slot* into the tile's bin list (-1 = empty);
+    slots are in submission order, so the strict-greater merge reproduces
+    the reference's first-writer-wins tie rule.
+    """
+    ty = pl.program_id(0)
+    tx = pl.program_id(1)
+    yf, xc = _tile_coords(origin_ref)
 
     z_ref[:] = jnp.full((TILE_H, TILE_W), DEPTH_CLEAR, F32)
     idx_ref[:] = jnp.full((TILE_H, TILE_W), -1, jnp.int32)
 
-    n = count_ref[ty * pl.num_programs(1) + tx]  # whole counts array in SMEM
+    n = count_ref[ty * pl.num_programs(1) + tx]
     w_f = F32(frame_width)
-    yf = rows[None, :, :]  # (1, R, 1)
-    xc = cols[None, :, :]  # (1, 1, W)
 
     def chunk_body(c, _):
         base = c * CHUNK_T
-        rec = rec_ref[0, 0, pl.ds(base, CHUNK_T), :]  # (C, 32)
-
-        def field(e, j):
-            return rec[:, e * 8 + j][:, None, None]  # (C, 1, 1)
-
-        # Per-edge row values (lists of (C, R, 1) arrays).
-        act, xs, zs, xgs, lefts = [], [], [], [], []
-        for e in range(3):
-            valid_e = field(e, 0) > F32(0.5)
-            ymin_e, ymax_e = field(e, 1), field(e, 2)
-            dy = yf - ymin_e
-            act.append(valid_e & (ymin_e <= yf) & (yf < ymax_e))
-            xs.append(field(e, 3) + dy * field(e, 4))
-            zs.append(field(e, 5) + dy * field(e, 6))
-            xgs.append(field(e, 4))
-            lefts.append(field(e, 7))
-
-        # AET ordering (projekt.cpp:212-216): lexicographic (x, xg, left, e).
-        big = F32(_BIG)
-        kx = [jnp.where(act[e], xs[e], big) for e in range(3)]
-        kg = [jnp.where(act[e], xgs[e], big) for e in range(3)]
-        kl = [jnp.where(act[e], lefts[e], big) for e in range(3)]
-
-        def less(i, j):
-            return (kx[i] < kx[j]) | (
-                (kx[i] == kx[j])
-                & (
-                    (kg[i] < kg[j])
-                    | (
-                        (kg[i] == kg[j])
-                        & ((kl[i] < kl[j]) | ((kl[i] == kl[j]) & (i < j)))
-                    )
-                )
-            )
-
-        rank = []
-        for i in range(3):
-            cnt = None
-            for j in range(3):
-                if j == i:
-                    continue
-                t = less(j, i).astype(jnp.int32)
-                cnt = t if cnt is None else cnt + t
-            rank.append(cnt)
-
-        def pick(vals, r):
-            return jnp.where(
-                rank[0] == r, vals[0],
-                jnp.where(rank[1] == r, vals[1], vals[2]),
-            )
-
-        xl, xr = pick(xs, 0), pick(xs, 1)  # (C, R, 1)
-        zl, zr = pick(zs, 0), pick(zs, 1)
-        nact = (
-            act[0].astype(jnp.int32)
-            + act[1].astype(jnp.int32)
-            + act[2].astype(jnp.int32)
-        )
-        span_ok = nact >= 2  # (C, R, 1)
-
-        # Span setup + pixel coverage/z (projekt.cpp:306-529, closed form).
-        xd = round_half_away(xr - xl)
-        zinc = jnp.where(xd != F32(0.0), (zr - zl) / xd, F32(0.0))
-        xoff = jnp.where(xl < F32(0.0), -xl, F32(0.0))
-        lx = jnp.where(
-            xl < F32(0.0), F32(0.0),
-            jnp.where(xl >= w_f, w_f - F32(1.0), xl),
-        )
-        rx = jnp.where(
-            xr < F32(0.0), F32(0.0),
-            jnp.where(xr >= w_f, w_f - F32(1.0), xr),
-        )
-        minx = jnp.minimum(round_half_away(lx), w_f - F32(1.0))
-        maxx = jnp.minimum(round_half_away(rx), w_f - F32(1.0))
-
-        inspan = span_ok & (xc >= minx) & (xc <= maxx)  # (C, R, W)
-        k = xoff + (xc - minx)
-        zfrag = zl + k * zinc  # (C, R, W)
-
-        # Fold the chunk: earlier (smaller slot) wins ties.
-        best_z = jnp.full((TILE_H, TILE_W), DEPTH_CLEAR, F32)
-        best_i = jnp.full((TILE_H, TILE_W), jnp.int32(-1))
-        for c in range(CHUNK_T):
-            zc = jnp.where(inspan[c], zfrag[c], DEPTH_CLEAR)
-            win = zc > best_z
-            best_z = jnp.where(win, zc, best_z)
-            best_i = jnp.where(win, base + c, best_i)
-
-        win = best_z > z_ref[:]
-        z_ref[:] = jnp.where(win, best_z, z_ref[:])
-        idx_ref[:] = jnp.where(win, best_i, idx_ref[:])
+        rec = rec_ref[0, 0, pl.ds(base, CHUNK_T), :]
+        _chunk_update(rec, base, n - base, yf, xc, w_f, z_ref, idx_ref)
         return 0
 
-    num_chunks = (n + CHUNK_T - 1) // CHUNK_T  # only populated slots
+    num_chunks = (n + CHUNK_T - 1) // CHUNK_T
     jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
 
 
 def visibility_pass(edges: EdgeTable, bins: TileBins, height: int,
                     width: int, frame_width: int | None = None,
                     row0=0, col0=0):
-    """Run the tile kernel over the local tile grid.
+    """Mask-strategy pass over the local tile grid.
 
-    (height, width): local extent; (row0, col0): traced origin in the global
-    frame; frame_width: global width for span clamping.
     Returns (z(H,W) f32, idx(H,W) i32 global triangle ids, -1 = empty).
     """
     if frame_width is None:
@@ -268,9 +299,151 @@ def visibility_pass(edges: EdgeTable, bins: TileBins, height: int,
     # Map winning slot -> global triangle id via the bin lists.
     py = jnp.arange(height, dtype=jnp.int32)[:, None] // TILE_H
     px = jnp.arange(width, dtype=jnp.int32)[None, :] // TILE_W
-    flat = bins.ids.reshape(tiles_y, tiles_x, capacity)
-    gid = flat[py, px, jnp.maximum(slot, 0)]
+    gid = bins.ids[py, px, jnp.maximum(slot, 0)]
     return z, jnp.where(slot >= 0, gid, -1)
+
+
+def _visibility_kernel_queue(wi_tile, blk_start, item_start, counts, origin,
+                             rec_ref, z_ref, idx_ref, *, frame_width,
+                             tiles_x):
+    """Sorted/queue-strategy kernel: 1D grid over (tile, block) work items.
+
+    One scalar-prefetched i32 per work item (its tile); block index, entry
+    base, and remaining count derive from the small per-tile arrays. The
+    record BlockSpec fetches the work item's block; the output BlockSpecs
+    keep the tile resident across its consecutive items. The first item of
+    a tile initializes it."""
+    g = pl.program_id(0)
+    tile = wi_tile[g]
+    ty = tile // tiles_x
+    tx = tile - ty * tiles_x
+    ci = g - item_start[tile]
+    base = ci * QUEUE_BLK
+    n = counts[tile] - base
+
+    @pl.when(ci == 0)
+    def _():
+        z_ref[:] = jnp.full((TILE_H, TILE_W), DEPTH_CLEAR, F32)
+        idx_ref[:] = jnp.full((TILE_H, TILE_W), -1, jnp.int32)
+
+    rows = (
+        jax.lax.broadcasted_iota(jnp.int32, (TILE_H, 1), 0)
+        + (origin[0] + ty * TILE_H)
+    ).astype(F32)
+    cols = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, TILE_W), 1)
+        + (origin[1] + tx * TILE_W)
+    ).astype(F32)
+    yf = rows[None, :, :]
+    xc = cols[None, :, :]
+    w_f = F32(frame_width)
+
+    def sub_body(sub, _):
+        rec = rec_ref[0, pl.ds(sub * CHUNK_T, CHUNK_T), :]
+        _chunk_update(
+            rec, base + sub * CHUNK_T, n - sub * CHUNK_T, yf, xc, w_f,
+            z_ref, idx_ref,
+        )
+        return 0
+
+    sub_chunks = jnp.clip(
+        (n + CHUNK_T - 1) // CHUNK_T, 0, QUEUE_BLK // CHUNK_T
+    )
+    jax.lax.fori_loop(0, sub_chunks, sub_body, 0)
+
+
+def visibility_pass_queue(edges: EdgeTable, qbins: QueueBins, height: int,
+                          width: int, frame_width: int | None = None,
+                          row0=0, col0=0):
+    """Queue-strategy pass (work-item grid; no per-tile capacity)."""
+    if frame_width is None:
+        frame_width = width
+    tiles_y = -(-height // TILE_H)
+    tiles_x = -(-width // TILE_W)
+
+    recs = pack_z_records(edges)  # (T, 32)
+    rec_aligned = recs[jnp.maximum(qbins.aligned_tri, 0)]
+    rec_aligned = jnp.where(
+        (qbins.aligned_tri >= 0)[:, None], rec_aligned, F32(0.0)
+    )
+    n_blocks = rec_aligned.shape[0] // QUEUE_BLK
+    rec_aligned = rec_aligned.reshape(n_blocks, QUEUE_BLK, REC_WIDTH)
+
+    maxw = qbins.wi_tile.shape[0]
+    origin = jnp.stack(
+        [jnp.asarray(row0, jnp.int32), jnp.asarray(col0, jnp.int32)]
+    )
+
+    kernel = functools.partial(
+        _visibility_kernel_queue, frame_width=frame_width, tiles_x=tiles_x
+    )
+    # one dummy tile row absorbs padding work items
+    padded_h = (tiles_y + 1) * TILE_H
+    padded_w = tiles_x * TILE_W
+    interpret = jax.default_backend() != "tpu"
+
+    def rec_index(g, wi_tile, blk_start, item_start, counts, org,
+                  _nb=n_blocks):
+        tile = wi_tile[g]
+        blk = blk_start[tile] + (g - item_start[tile])
+        return (jnp.clip(blk, 0, _nb - 1), 0, 0)
+
+    def out_index(g, wi_tile, blk_start, item_start, counts, org,
+                  _tx=tiles_x):
+        tile = wi_tile[g]
+        return (tile // _tx, tile % _tx)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(maxw,),
+        in_specs=[
+            pl.BlockSpec((1, QUEUE_BLK, REC_WIDTH), rec_index),
+        ],
+        out_specs=[
+            pl.BlockSpec((TILE_H, TILE_W), out_index),
+            pl.BlockSpec((TILE_H, TILE_W), out_index),
+        ],
+    )
+
+    z, slot = pl.pallas_call(
+        kernel,
+        interpret=interpret,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((padded_h, padded_w), F32),
+            jax.ShapeDtypeStruct((padded_h, padded_w), jnp.int32),
+        ],
+    )(
+        qbins.wi_tile, qbins.blk_start, qbins.item_start, qbins.counts,
+        origin, rec_aligned,
+    )
+
+    z = z[:height, :width]
+    slot = slot[:height, :width]
+
+    # slot is tile-relative: aligned entry = blk_start[tile]*BLK + slot.
+    py = jnp.arange(height, dtype=jnp.int32)[:, None] // TILE_H
+    px = jnp.arange(width, dtype=jnp.int32)[None, :] // TILE_W
+    tile = py * tiles_x + px
+    entry = qbins.blk_start[tile] * QUEUE_BLK + jnp.maximum(slot, 0)
+    flat_tri = qbins.aligned_tri
+    gid = flat_tri[jnp.minimum(entry, flat_tri.shape[0] - 1)]
+    return z, jnp.where(slot >= 0, gid, -1)
+
+
+def _merge_by_gid(z_a, gid_a, z_b, gid_b):
+    """Combine two visibility buffers preserving submission-order ties:
+    larger z wins; on equal z the smaller global triangle id (earlier
+    submission) wins."""
+    cov_b = gid_b >= 0
+    win_b = cov_b & (
+        (z_b > z_a)
+        | ((z_b == z_a) & ((gid_a < 0) | (gid_b < gid_a)))
+    )
+    return (
+        jnp.where(win_b, z_b, z_a),
+        jnp.where(win_b, gid_b, gid_a),
+    )
 
 
 def rasterize_pallas(
@@ -282,33 +455,71 @@ def rasterize_pallas(
     frame_width: int | None = None,
     row0=0,
     col0=0,
+    strategy: str = "auto",
 ):
-    """Full fast-path rasterization -> (covered, gbuf), same API as
-    ops.raster_reference.rasterize_reference. ``capacity`` is the per-tile
-    triangle list size (default: all triangles, rounded to the chunk);
+    """Full fast-path rasterization -> (covered, gbuf, stats), same G-buffer
+    API as ops.raster_reference.rasterize_reference.
+
+    strategy: 'mask' (small scenes), 'sorted' (scales to millions of
+    triangles), or 'auto'. ``capacity`` only applies to the mask strategy;
     (row0, col0)/(frame_height, frame_width) support rendering a local
-    sub-rect of a larger frame (mesh sharding)."""
+    sub-rect of a larger frame (mesh sharding).
+    """
     T = edges.num_triangles
-    if capacity is None:
-        # Per-tile list capacity: all triangles for small scenes, else a cap
-        # that keeps the kernel's record block comfortably inside VMEM
-        # (4096 * 128 lanes * 4 B = 2 MB). Drops are counted in the returned
-        # stats — raise `capacity` if stats['bins_dropped'] is nonzero.
-        capacity = min(max(CHUNK_T, -(-T // CHUNK_T) * CHUNK_T), 4096)
     if frame_height is None:
         frame_height = height
     if frame_width is None:
         frame_width = width
-    bins = bin_triangles(
-        edges, height, width, TILE_H, TILE_W, capacity,
-        frame_height, frame_width, row0, col0,
-    )
-    z, idx = visibility_pass(
-        edges, bins, height, width, frame_width, row0, col0
-    )
+    if strategy == "auto":
+        strategy = "sorted" if T > AUTO_SORTED_THRESHOLD else "mask"
+
+    if strategy == "mask":
+        if capacity is None:
+            # Per-tile list capacity: all triangles for small scenes, else a
+            # cap that keeps the kernel's record block inside VMEM. Drops are
+            # counted in stats — raise `capacity` if nonzero.
+            capacity = min(max(CHUNK_T, -(-T // CHUNK_T) * CHUNK_T), 4096)
+        bins = bin_triangles(
+            edges, height, width, TILE_H, TILE_W, capacity,
+            frame_height, frame_width, row0, col0,
+        )
+        z, idx = visibility_pass(
+            edges, bins, height, width, frame_width, row0, col0
+        )
+        stats = {"bins_dropped": bins.n_dropped}
+    elif strategy == "sorted":
+        qbins = bin_triangles_queue(
+            edges, height, width, TILE_H, TILE_W, QUEUE_BLK,
+            frame_height=frame_height, frame_width=frame_width,
+            row0=row0, col0=col0,
+        )
+        z, idx = visibility_pass_queue(
+            edges, qbins, height, width, frame_width, row0, col0
+        )
+        # Side pass for triangles too large for the expansion: every tile
+        # sees the (short, fixed-capacity) large list.
+        tiles_y = -(-height // TILE_H)
+        tiles_x = -(-width // TILE_W)
+        lcap = qbins.large_ids.shape[0]
+        large_bins = TileBins(
+            ids=jnp.broadcast_to(
+                qbins.large_ids, (tiles_y, tiles_x, lcap)
+            ),
+            counts=jnp.broadcast_to(
+                qbins.n_large.astype(jnp.int32), (tiles_y, tiles_x)
+            ),
+            n_dropped=qbins.n_dropped,
+        )
+        z_l, idx_l = visibility_pass(
+            edges, large_bins, height, width, frame_width, row0, col0
+        )
+        z, idx = _merge_by_gid(z, idx, z_l, idx_l)
+        stats = {"bins_dropped": qbins.n_dropped}
+    else:
+        raise ValueError(f"unknown strategy: {strategy}")
+
     covered, gbuf = resolve_gbuffer(
         edges, z, idx, height, width, frame_width=frame_width,
         row0=row0, col0=col0,
     )
-    stats = {"bins_dropped": bins.n_dropped}
     return covered, gbuf, stats

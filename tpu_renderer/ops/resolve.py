@@ -7,7 +7,11 @@ use (ops.spans semantics, projekt.cpp:306-539). This is pure gather + dense
 vector math — the TPU-friendly inversion of the reference's per-fragment
 scatter — and it runs exactly once per visible pixel.
 
-Row-chunked with lax.map so the (rows, W, 3, fields) gather stays bounded.
+Performance shape: all per-triangle fields are packed into ONE (T, 128)
+f32 record row so the per-pixel gather is a single contiguous 512-byte row
+fetch (TPU gathers of full lanes run near memory bandwidth; per-field scalar
+gathers do not — measured 30x slower). Row-chunked with lax.map so the
+gathered (rows, W, 128) block stays bounded.
 """
 
 from __future__ import annotations
@@ -22,19 +26,65 @@ from .raster_reference import GBUF_CHANNELS
 F32 = jnp.float32
 _BIG = 3.4028235e38
 
+# Per-edge field layout inside the packed record (28 floats per edge).
+_F_VALID, _F_YMIN, _F_YMAX, _F_X0, _F_XG, _F_Z0, _F_ZG = range(7)
+_F_OZ0, _F_OZG, _F_U0, _F_UG, _F_V0, _F_VG, _F_LEFT = range(7, 14)
+_F_COL0 = 14  # 4 floats
+_F_COLG = 18  # 4 floats
+_F_N0 = 22  # 3 floats
+_F_NG = 25  # 3 floats
+EDGE_STRIDE = 28
+REC_LANES = 128  # 3 * 28 = 84, padded to one full lane row
 
-def _resolve_rows(edges: EdgeTable, z_rows, idx_rows, y_rows, width: int,
+
+def pack_attr_records(edges: EdgeTable) -> jnp.ndarray:
+    """(T, 128) f32 packed records (3 edges x 28 fields, lane-padded)."""
+    cols = []
+    for e in range(3):
+        cols += [
+            edges.valid[:, e].astype(F32),
+            edges.ymin[:, e],
+            edges.ymax[:, e],
+            edges.x0[:, e],
+            edges.xg[:, e],
+            edges.z0[:, e],
+            edges.zg[:, e],
+            edges.oz0[:, e],
+            edges.ozg[:, e],
+            edges.u0[:, e],
+            edges.ug[:, e],
+            edges.v0[:, e],
+            edges.vg[:, e],
+            edges.left[:, e],
+        ]
+        cols += [edges.col0[:, e, c] for c in range(4)]
+        cols += [edges.colg[:, e, c] for c in range(4)]
+        cols += [edges.n0[:, e, c] for c in range(3)]
+        cols += [edges.ng[:, e, c] for c in range(3)]
+    rec = jnp.stack(cols, axis=1)  # (T, 84)
+    return jnp.pad(rec, ((0, 0), (0, REC_LANES - rec.shape[1])))
+
+
+def _resolve_rows(rec_rows, z_rows, idx_rows, y_rows, width: int,
                   frame_width: int, col0):
-    """Resolve one block of rows. idx_rows: (R, W) global ids (-1 empty);
-    y_rows are global frame rows, col0 the global column origin."""
-    covered = idx_rows >= 0
-    safe = jnp.maximum(idx_rows, 0)  # (R, W)
+    """Resolve one block of rows from gathered records.
 
-    g = lambda a: a[safe]  # (T, 3, ...) -> (R, W, 3, ...)
-    valid = g(edges.valid)
-    ymin, ymax = g(edges.ymin), g(edges.ymax)
-    x0, xg = g(edges.x0), g(edges.xg)
-    left = g(edges.left)
+    rec_rows: (R, W, 128) per-pixel packed records; idx_rows: (R, W) global
+    ids (-1 empty); y_rows: global frame rows; col0: global column origin.
+    """
+    covered = idx_rows >= 0
+
+    def f(e, j):
+        return rec_rows[..., e * EDGE_STRIDE + j]  # (R, W)
+
+    def f3(j):
+        return jnp.stack([f(0, j), f(1, j), f(2, j)], axis=-1)  # (R, W, 3)
+
+    valid = f3(_F_VALID) > F32(0.5)
+    ymin = f3(_F_YMIN)
+    ymax = f3(_F_YMAX)
+    x0, xg = f3(_F_X0), f3(_F_XG)
+    left = f3(_F_LEFT)
 
     yf = y_rows[:, None, None].astype(F32)  # (R, 1, 1)
     xf = (
@@ -79,29 +129,40 @@ def _resolve_rows(edges: EdgeTable, z_rows, idx_rows, y_rows, width: int,
         """vals (R,W,3) or (R,W,3,C); select the rank-r edge."""
         if vals.ndim == 4:
             sel = [rk[..., None] for rk in rank]
-        else:
-            sel = rank
+            return jnp.where(
+                sel[0] == r, vals[..., 0, :],
+                jnp.where(sel[1] == r, vals[..., 1, :], vals[..., 2, :]),
+            )
         return jnp.where(
-            sel[0] == r, vals[..., 0, :] if vals.ndim == 4 else vals[..., 0],
-            jnp.where(
-                sel[1] == r,
-                vals[..., 1, :] if vals.ndim == 4 else vals[..., 1],
-                vals[..., 2, :] if vals.ndim == 4 else vals[..., 2],
-            ),
+            rank[0] == r, vals[..., 0],
+            jnp.where(rank[1] == r, vals[..., 1], vals[..., 2]),
         )
 
-    def attr_at(a0_field, ag_field):
-        vals = g(a0_field) + (dy[..., None] * g(ag_field)
-                              if a0_field.ndim == 3 else dy * g(ag_field))
+    def attr_scalar(j):
+        a0 = f3(j)
+        ag = f3(j + 1)
+        vals = a0 + dy * ag
+        return pick(vals, 0), pick(vals, 1)
+
+    def attr_vec(j0, jg, n):
+        a0 = jnp.stack(
+            [jnp.stack([f(e, j0 + c) for e in range(3)], axis=-1)
+             for c in range(n)], axis=-1,
+        )  # (R, W, 3, n)
+        ag = jnp.stack(
+            [jnp.stack([f(e, jg + c) for e in range(3)], axis=-1)
+             for c in range(n)], axis=-1,
+        )
+        vals = a0 + dy[..., None] * ag
         return pick(vals, 0), pick(vals, 1)
 
     xl, xr = pick(xs, 0), pick(xs, 1)  # (R, W)
-    zl, zr = attr_at(edges.z0, edges.zg)
-    ozl, ozr = attr_at(edges.oz0, edges.ozg)
-    ul, ur = attr_at(edges.u0, edges.ug)
-    vl, vr = attr_at(edges.v0, edges.vg)
-    cl, cr = attr_at(edges.col0, edges.colg)  # (R, W, 4)
-    nl, nr = attr_at(edges.n0, edges.ng)  # (R, W, 3)
+    zl, zr = attr_scalar(_F_Z0)
+    ozl, ozr = attr_scalar(_F_OZ0)
+    ul, ur = attr_scalar(_F_U0)
+    vl, vr = attr_scalar(_F_V0)
+    cl, cr = attr_vec(_F_COL0, _F_COLG, 4)  # (R, W, 4)
+    nl, nr = attr_vec(_F_N0, _F_NG, 3)  # (R, W, 3)
 
     # Span setup at this pixel (projekt.cpp:306-421 closed form).
     xd = round_half_away(xr - xl)
@@ -151,6 +212,7 @@ def resolve_gbuffer(edges: EdgeTable, z, idx, height: int, width: int,
     global width spans clamp against."""
     if frame_width is None:
         frame_width = width
+    packed = pack_attr_records(edges)  # (T, 128)
     pad = (-height) % row_block
     if pad:
         z = jnp.pad(z, ((0, pad), (0, 0)))
@@ -166,7 +228,8 @@ def resolve_gbuffer(edges: EdgeTable, z, idx, height: int, width: int,
 
     def fn(args):
         zr, ir, yr = args
-        return _resolve_rows(edges, zr, ir, yr, width, frame_width, col0)
+        rec_rows = packed[jnp.maximum(ir, 0)]  # one row-gather per pixel
+        return _resolve_rows(rec_rows, zr, ir, yr, width, frame_width, col0)
 
     covered, gbuf = jax.lax.map(fn, (zb, ib, yb))
     covered = covered.reshape(-1, width)[:height]
