@@ -67,9 +67,18 @@ _BIG = 3.4028235e38
 AUTO_SORTED_THRESHOLD = 512  # auto switches to sorted binning above this
 
 
+GID_LANE = 24  # record lane holding the global triangle id (exact in f32
+# up to 2**24 = 16.7M triangles per object)
+
+
 def pack_z_records(edges: EdgeTable) -> jnp.ndarray:
     """(T, 32) f32: per edge e, lanes [8e..8e+8) hold
-    [valid, ymin, ymax, x0, xg, z0, zg, left]."""
+    [valid, ymin, ymax, x0, xg, z0, zg, left]; lane 24 is the triangle id.
+
+    Embedding the id lets the kernels emit GLOBAL ids directly — a per-pixel
+    slot->id gather afterwards costs ~10ms/frame at 1080p (TPU scalar
+    gathers), which dominated the whole pipeline before this."""
+    T = edges.num_triangles
     cols = []
     for e in range(3):
         cols += [
@@ -82,17 +91,19 @@ def pack_z_records(edges: EdgeTable) -> jnp.ndarray:
             edges.zg[:, e],
             edges.left[:, e],
         ]
-    rec = jnp.stack(cols, axis=1)  # (T, 24)
+    cols.append(jnp.arange(T, dtype=jnp.int32).astype(F32))  # GID_LANE
+    rec = jnp.stack(cols, axis=1)  # (T, 25)
     return jnp.pad(rec, ((0, 0), (0, REC_WIDTH - rec.shape[1])))
 
 
 def _chunk_update(rec, slot0, n_rel, yf, xc, w_f, z_ref, idx_ref):
     """Merge CHUNK_T triangles' coverage+z into the tile refs.
 
-    rec: (CHUNK_T, REC_WIDTH) records; slot0: scalar slot index of rec[0];
-    n_rel: scalar count of valid records in this chunk (<= CHUNK_T) —
-    entries at or past n_rel are masked (in the sorted strategy they belong
-    to the next tile's range).
+    rec: (CHUNK_T, REC_WIDTH) records; slot0 is unused for identity (ids
+    come from the records' GID lane); n_rel: scalar count of valid records
+    in this chunk (<= CHUNK_T) — entries at or past n_rel are masked (in
+    the sorted strategy they belong to the next tile's range). The emitted
+    idx values are GLOBAL triangle ids.
     """
 
     def field(e, j):
@@ -173,14 +184,15 @@ def _chunk_update(rec, slot0, n_rel, yf, xc, w_f, z_ref, idx_ref):
     k = xoff + (xc - minx)
     zfrag = zl + k * zinc  # (C, R, W)
 
-    # Fold the chunk: earlier (smaller slot) wins ties.
+    # Fold the chunk: earlier (smaller slot == smaller id) wins ties.
+    gids = rec[:, GID_LANE][:, None, None].astype(jnp.int32)  # (C, 1, 1)
     best_z = jnp.full((TILE_H, TILE_W), DEPTH_CLEAR, F32)
     best_i = jnp.full((TILE_H, TILE_W), jnp.int32(-1))
     for c in range(CHUNK_T):
         zc = jnp.where(inspan[c], zfrag[c], DEPTH_CLEAR)
         win = zc > best_z
         best_z = jnp.where(win, zc, best_z)
-        best_i = jnp.where(win, slot0 + c, best_i)
+        best_i = jnp.where(win, gids[c, 0, 0], best_i)
 
     win = best_z > z_ref[:]
     z_ref[:] = jnp.where(win, best_z, z_ref[:])
@@ -293,14 +305,7 @@ def visibility_pass(edges: EdgeTable, bins: TileBins, height: int,
         tile_recs,
     )
 
-    z = z[:height, :width]
-    slot = slot[:height, :width]
-
-    # Map winning slot -> global triangle id via the bin lists.
-    py = jnp.arange(height, dtype=jnp.int32)[:, None] // TILE_H
-    px = jnp.arange(width, dtype=jnp.int32)[None, :] // TILE_W
-    gid = bins.ids[py, px, jnp.maximum(slot, 0)]
-    return z, jnp.where(slot >= 0, gid, -1)
+    return z[:height, :width], slot[:height, :width]  # slot IS global gid
 
 
 def _visibility_kernel_queue(wi_tile, blk_start, item_start, counts, origin,
@@ -418,17 +423,7 @@ def visibility_pass_queue(edges: EdgeTable, qbins: QueueBins, height: int,
         origin, rec_aligned,
     )
 
-    z = z[:height, :width]
-    slot = slot[:height, :width]
-
-    # slot is tile-relative: aligned entry = blk_start[tile]*BLK + slot.
-    py = jnp.arange(height, dtype=jnp.int32)[:, None] // TILE_H
-    px = jnp.arange(width, dtype=jnp.int32)[None, :] // TILE_W
-    tile = py * tiles_x + px
-    entry = qbins.blk_start[tile] * QUEUE_BLK + jnp.maximum(slot, 0)
-    flat_tri = qbins.aligned_tri
-    gid = flat_tri[jnp.minimum(entry, flat_tri.shape[0] - 1)]
-    return z, jnp.where(slot >= 0, gid, -1)
+    return z[:height, :width], slot[:height, :width]  # slot IS global gid
 
 
 def _merge_by_gid(z_a, gid_a, z_b, gid_b):
