@@ -99,11 +99,15 @@ def measure_cpu_fps():
 
     if native.available():
         native.render(scene_g, tr_d, li_d, 64, 64)  # warm up / build
-        iters = 5
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            native.render(scene_g, tr_d, li_d, HEIGHT, WIDTH)
-        dt = (time.perf_counter() - t0) / iters
+        # median of 3 runs of 5 frames (single-core timing is noisy)
+        runs = []
+        for _ in range(3):
+            iters = 5
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                native.render(scene_g, tr_d, li_d, HEIGHT, WIDTH)
+            runs.append((time.perf_counter() - t0) / iters)
+        dt = sorted(runs)[1]
         baseline = "native-avx"
     else:
         from tpu_renderer.golden import cpu_reference as gold

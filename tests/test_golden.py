@@ -249,3 +249,40 @@ class TestEndToEnd:
         vals = np.unique(c[cov])
         # unlit texture passthrough: exactly the two checker colors
         assert set(vals) == {np.uint32(0xFFFFFFFF), np.uint32(0xFF2828A0)}
+
+
+class TestBilinear:
+    def test_bilinear_interpolates_between_texels(self):
+        # 2x2 texture: black and white corners; center uv samples mid-gray
+        tex = np.array([[0xFF000000, 0xFFFFFFFF],
+                        [0xFFFFFFFF, 0xFF000000]], np.uint32)
+        rgba, mask = gold.sample_texture(
+            tex, F(0.5), F(0.5), "scalar", "bilinear"
+        )
+        assert mask
+        np.testing.assert_allclose(rgba[:3], [0.5, 0.5, 0.5], atol=1e-6)
+
+    def test_bilinear_matches_jax(self, transform_dict, lights_dict):
+        import jax.numpy as jnp
+        from tpu_renderer.ops.shading import sample_texture as jax_sample
+
+        tex = checkerboard(16, 16, cell=3)
+        rng = np.random.RandomState(3)
+        u = rng.rand(64).astype(F)
+        v = rng.rand(64).astype(F)
+        g_rgba, _ = gold.sample_texture(tex, u, v, "scalar", "bilinear")
+        j_rgba, _ = jax_sample(jnp.asarray(tex), jnp.asarray(u),
+                               jnp.asarray(v), "scalar", "bilinear")
+        np.testing.assert_allclose(np.asarray(j_rgba), g_rgba, atol=2e-7)
+
+    def test_end_to_end_bilinear_quad(self, transform_dict, lights_dict):
+        obj = dict(p=(0, 0, 0), **construct_quad())
+        tex = checkerboard(8, 8, cell=1)
+        c, d = gold.render(
+            [(obj, {"texture": tex, "filter_mode": "bilinear"})],
+            transform_dict, lights_dict, 128, 128,
+        )
+        cov = d > gold.DEPTH_CLEAR
+        # bilinear produces intermediate colors (more unique values than the
+        # two checker colors)
+        assert len(np.unique(c[cov])) > 10

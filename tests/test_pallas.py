@@ -133,12 +133,18 @@ class TestQueueBinning:
             assert items[t + 1] - items[t] >= 1
         # aligned entries of tile t are exactly its kept count, in
         # ascending (submission) order
-        at = np.asarray(q.aligned_tri)
+        st = np.asarray(q.sorted_tri)
+        src = np.asarray(q.src)
+        sv = np.asarray(q.src_valid)
+        at = np.where(sv, st[src], -1)
         for t in range(0, ntiles, 7):
             lo = starts[t] * 64
             seg = at[lo : lo + counts[t]]
             assert (seg >= 0).all()
             assert (np.diff(seg) > 0).all()
+            # slots past the kept count are invalid padding
+            pad = at[lo + counts[t] : (lo // 64 + max(counts[t] // 64, 1)) * 64]
+            assert (pad == -1).all() or pad.size == 0
 
     def test_merge_by_gid_tie_break(self):
         from tpu_renderer.ops.raster_pallas import _merge_by_gid

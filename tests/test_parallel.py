@@ -90,3 +90,17 @@ def test_graft_entry_points(eight_devices):
     jax.block_until_ready(out)
     assert out[0].shape == (256, 256)
     g.dryrun_multichip(8)
+
+
+def test_gather_framebuffer_replicates(eight_devices):
+    from tpu_renderer.parallel.mesh import gather_framebuffer
+
+    scene_j, tr, li = build(1)
+    mesh = Mesh(eight_devices.reshape(2, 4), ("ty", "tx"))
+    fb_sharded = render_scene_tiled(scene_j, tr, li, H, W, mesh,
+                                    backend="reference")
+    fb_full = gather_framebuffer(fb_sharded, mesh)
+    fb0 = render_scene(make_framebuffer(H, W), scene_j, tr, li,
+                       backend="reference")
+    np.testing.assert_array_equal(np.asarray(fb_full.color),
+                                  np.asarray(fb0.color))

@@ -140,11 +140,14 @@ class ObjectConfig:
                discard fragments with uv outside [0,1] (projekt.cpp:1044-1060).
                The reference's two paths genuinely differ here (SURVEY §2.1);
                both are implemented, 'scalar' is the parity default.
+    filter_mode: 'nearest' (reference-faithful default) or 'bilinear'
+               (extension; BASELINE config 3 calls for bilinear sampling).
     """
 
     phong: bool = False
     textured: bool = False
     uv_mode: str = "scalar"
+    filter_mode: str = "nearest"
 
 
 class Framebuffer(NamedTuple):

@@ -399,15 +399,50 @@ def _fill_span(edges, t, iL, iR, y, covered, gbuf, W):
     covered[y, sl] |= win
 
 
-def sample_texture(texture, u, v, mode="scalar"):
-    """Nearest-neighbor ARGB texture fetch.
+def _unpack_argb(texel):
+    inv255 = F(1) / F(255)
+    a = ((texel >> 24) & 0xFF).astype(F) * inv255
+    r = ((texel >> 16) & 0xFF).astype(F) * inv255
+    g = ((texel >> 8) & 0xFF).astype(F) * inv255
+    b = (texel & 0xFF).astype(F) * inv255
+    return np.stack([r, g, b, a], axis=-1)
 
-    scalar mode: round(uv * (dim-1)), clamped (projekt.cpp:429-445).
-    avx mode: trunc(uv * dim) with a uv-in-[0,1] validity mask
-    (projekt.cpp:1044-1060); returns (rgba, mask).
+
+def sample_texture(texture, u, v, mode="scalar", filter_mode="nearest"):
+    """ARGB texture fetch.
+
+    Nearest (reference-faithful): scalar mode rounds uv * (dim-1), clamped
+    (projekt.cpp:429-445); avx mode truncates uv * dim with a uv-in-[0,1]
+    validity mask (projekt.cpp:1044-1060). Bilinear: 4-texel lerp extension
+    (same formulas as the JAX path). Returns (rgba, mask).
     """
     tex = np.asarray(texture, np.uint32)
     th, tw = tex.shape
+    if filter_mode == "bilinear":
+        u = np.asarray(u, F)
+        v = np.asarray(v, F)
+        tu = u * F(tw - 1)
+        tv = v * F(th - 1)
+        x0 = np.floor(tu)
+        y0 = np.floor(tv)
+        fx = (tu - x0)[..., None]
+        fy = (tv - y0)[..., None]
+        xi = np.clip(x0.astype(np.int64), 0, tw - 1)
+        yi = np.clip(y0.astype(np.int64), 0, th - 1)
+        xi1 = np.minimum(xi + 1, tw - 1)
+        yi1 = np.minimum(yi + 1, th - 1)
+        c00 = _unpack_argb(tex[yi, xi])
+        c10 = _unpack_argb(tex[yi, xi1])
+        c01 = _unpack_argb(tex[yi1, xi])
+        c11 = _unpack_argb(tex[yi1, xi1])
+        top = c00 + fx * (c10 - c00)
+        bot = c01 + fx * (c11 - c01)
+        rgba = (top + fy * (bot - top)).astype(F)
+        if mode == "avx":
+            mask = (u >= F(0)) & (u <= F(1)) & (v >= F(0)) & (v <= F(1))
+        else:
+            mask = np.ones(np.shape(u), bool)
+        return rgba, mask
     if mode == "scalar":
         tx = np.clip(roundf(u * F(tw - 1)).astype(np.int64), 0, tw - 1)
         ty = np.clip(roundf(v * F(th - 1)).astype(np.int64), 0, th - 1)
@@ -417,16 +452,11 @@ def sample_texture(texture, u, v, mode="scalar"):
         tx = np.clip(np.trunc(u * F(tw)).astype(np.int64), 0, tw - 1)
         ty = np.clip(np.trunc(v * F(th)).astype(np.int64), 0, th - 1)
     texel = tex[ty, tx]
-    inv255 = F(1) / F(255)
-    a = ((texel >> 24) & 0xFF).astype(F) * inv255
-    r = ((texel >> 16) & 0xFF).astype(F) * inv255
-    g = ((texel >> 8) & 0xFF).astype(F) * inv255
-    b = (texel & 0xFF).astype(F) * inv255
-    return np.stack([r, g, b, a], axis=-1), mask
+    return _unpack_argb(texel), mask
 
 
 def shade(covered, gbuf, transform, lights, phong=False, texture=None,
-          uv_mode="scalar"):
+          uv_mode="scalar", filter_mode="nearest"):
     """Deferred shading of the winning fragments (DrawModel pixel loop,
     projekt.cpp:427-529). Returns (rgba(H,W,4) f32, covered)."""
     H, W = covered.shape
@@ -437,7 +467,7 @@ def shade(covered, gbuf, transform, lights, phong=False, texture=None,
             inv_oz = F(1) / oz
             u = np.where(covered, inv_oz * gbuf[:, :, 8], F(0))
             v = np.where(covered, inv_oz * gbuf[:, :, 9], F(0))
-        tex_rgba, tmask = sample_texture(texture, u, v, uv_mode)
+        tex_rgba, tmask = sample_texture(texture, u, v, uv_mode, filter_mode)
         col = np.where(covered[..., None], tex_rgba, col)
         if uv_mode == "avx":
             covered = covered & tmask
@@ -497,6 +527,7 @@ def render(scene, transform, lights, height, width, clear_color=0):
         rgba, covered = shade(
             covered, gbuf, transform, lights, phong,
             cfg.get("texture"), cfg.get("uv_mode", "scalar"),
+            cfg.get("filter_mode", "nearest"),
         )
         packed = pack_argb(rgba)
         win = covered & (gbuf[:, :, 0] > depth)

@@ -118,6 +118,7 @@ def to_jax_scene(scene_golden, tr_dict, lights_dict):
             phong=bool(cfg_d.get("phong", False)),
             textured=texture is not None,
             uv_mode=cfg_d.get("uv_mode", "scalar"),
+            filter_mode=cfg_d.get("filter_mode", "nearest"),
         )
         scene.append((obj, cfg))
     return scene, transform, lights

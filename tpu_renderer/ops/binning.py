@@ -162,7 +162,9 @@ class QueueBins(NamedTuple):
     pass over every tile and merged by (z, global id)).
     """
 
-    aligned_tri: jnp.ndarray  # (EB,) i32 triangle id per entry (-1 pad)
+    sorted_tri: jnp.ndarray  # (Etot,) i32 triangle id per sorted entry
+    src: jnp.ndarray  # (EB,) i32 sorted-entry index per aligned slot
+    src_valid: jnp.ndarray  # (EB,) bool aligned slot holds a real entry
     blk_start: jnp.ndarray  # (ntiles + 1,) i32 first record block per tile
     item_start: jnp.ndarray  # (ntiles + 1,) i32 first work item per tile
     counts: jnp.ndarray  # (ntiles + 1,) i32 kept entries per tile
@@ -253,14 +255,27 @@ def bin_triangles_queue(
     keep_t = jnp.clip(entry_budget - blk_start * blk, 0, n_t)
     entry_drops = jnp.sum(n_t - keep_t)
 
-    i = jnp.arange(sorted_tile.shape[0], dtype=jnp.int32)
-    tile_i = jnp.minimum(sorted_tile, ntiles - 1)
-    rank = i - starts[tile_i]
-    dst = blk_start[tile_i] * blk + rank
-    valid_entry = (sorted_tile < ntiles) & (rank < keep_t[tile_i])
-    dst = jnp.where(valid_entry, dst, entry_budget)
-    aligned_tri = jnp.full((entry_budget + 1,), -1, jnp.int32)
-    aligned_tri = aligned_tri.at[dst].set(sorted_tri, mode="drop")[:entry_budget]
+    # Gather-based relayout: for each aligned slot, find its tile via a
+    # vectorized binary search over the (small) per-tile block table, then
+    # its source entry. No scatter — TPU scatters of millions of elements
+    # are serialized and dominated the frame at large T.
+    a = jnp.arange(entry_budget, dtype=jnp.int32)
+    b = a // blk
+    t_of_a = (
+        jnp.searchsorted(blk_start, b, side="right").astype(jnp.int32) - 1
+    )
+    t_of_a = jnp.clip(t_of_a, 0, ntiles - 1)
+    off = a - blk_start[t_of_a] * blk
+    src = starts[t_of_a] + off
+    src_valid = (off >= 0) & (off < keep_t[t_of_a])
+    # src < entry_budget by construction (blk_start[t]*blk >= starts[t]),
+    # so a prefix of the sorted ids suffices — downstream record gathers
+    # then touch EB rows instead of T*expansion rows (4x+ less).
+    src = jnp.clip(src, 0, entry_budget - 1)
+    sorted_tri = jax.lax.slice(
+        jnp.pad(sorted_tri, (0, max(0, entry_budget - sorted_tri.shape[0]))),
+        (0,), (entry_budget,),
+    )
 
     # Work items: one per (tile, block), tiles in order, blocks in order.
     nblk_kept = jnp.maximum(-(-keep_t // blk), 1)
@@ -285,7 +300,9 @@ def bin_triangles_queue(
     )[:large_capacity]
 
     return QueueBins(
-        aligned_tri=aligned_tri,
+        sorted_tri=sorted_tri,
+        src=src,
+        src_valid=src_valid,
         blk_start=jnp.concatenate(
             [blk_start, jnp.zeros((1,), jnp.int32)]
         ),

@@ -107,9 +107,11 @@ def _chunk_update(rec, slot0, n_rel, yf, xc, w_f, z_ref, idx_ref):
     """
 
     def field(e, j):
-        return rec[:, e * 8 + j][:, None, None]  # (C, 1, 1)
+        return rec[:, e * 8 + j][:, None]  # (C, 1)
 
-    # Per-edge row values (lists of (C, R, 1) arrays).
+    # Per-edge row values as (C, R) — NOT (C, R, 1): a trailing size-1 lane
+    # dim is padded to 128 lanes on TPU, making every cheap row op cost as
+    # much as a full (C, R, W) fragment op (measured 32x).
     act, xs, zs, xgs, lefts = [], [], [], [], []
     for e in range(3):
         valid_e = field(e, 0) > F32(0.5)
@@ -118,8 +120,8 @@ def _chunk_update(rec, slot0, n_rel, yf, xc, w_f, z_ref, idx_ref):
         act.append(valid_e & (ymin_e <= yf) & (yf < ymax_e))
         xs.append(field(e, 3) + dy * field(e, 4))
         zs.append(field(e, 5) + dy * field(e, 6))
-        xgs.append(field(e, 4))
-        lefts.append(field(e, 7))
+        xgs.append(jnp.broadcast_to(field(e, 4), dy.shape))
+        lefts.append(jnp.broadcast_to(field(e, 7), dy.shape))
 
     # AET ordering (projekt.cpp:212-216): lexicographic (x, xg, left, e).
     big = F32(_BIG)
@@ -155,15 +157,15 @@ def _chunk_update(rec, slot0, n_rel, yf, xc, w_f, z_ref, idx_ref):
             jnp.where(rank[1] == r, vals[1], vals[2]),
         )
 
-    xl, xr = pick(xs, 0), pick(xs, 1)  # (C, R, 1)
+    xl, xr = pick(xs, 0), pick(xs, 1)  # (C, R)
     zl, zr = pick(zs, 0), pick(zs, 1)
-    cidx = jax.lax.broadcasted_iota(jnp.int32, (CHUNK_T, 1, 1), 0)
+    cidx = jax.lax.broadcasted_iota(jnp.int32, (CHUNK_T, 1), 0)
     nact = (
         act[0].astype(jnp.int32)
         + act[1].astype(jnp.int32)
         + act[2].astype(jnp.int32)
     )
-    span_ok = (nact >= 2) & (cidx < n_rel)  # (C, R, 1)
+    span_ok = (nact >= 2) & (cidx < n_rel)  # (C, R)
 
     # Span setup + pixel coverage/z (projekt.cpp:306-529, closed form).
     xd = round_half_away(xr - xl)
@@ -180,9 +182,16 @@ def _chunk_update(rec, slot0, n_rel, yf, xc, w_f, z_ref, idx_ref):
     minx = jnp.minimum(round_half_away(lx), w_f - F32(1.0))
     maxx = jnp.minimum(round_half_away(rx), w_f - F32(1.0))
 
-    inspan = span_ok & (xc >= minx) & (xc <= maxx)  # (C, R, W)
-    k = xoff + (xc - minx)
-    zfrag = zl + k * zinc  # (C, R, W)
+    # Pixel expansion — the only (C, R, W) stage. (Minor-dim insertion is
+    # only supported for 32-bit types on TPU, so the bool mask expands via
+    # an f32 carrier.)
+    m3 = lambda a: a[:, :, None]  # (C, R) -> (C, R, 1)
+    span_f = jnp.where(span_ok, F32(1.0), F32(0.0))
+    inspan = (
+        (m3(span_f) > F32(0.5)) & (xc >= m3(minx)) & (xc <= m3(maxx))
+    )  # (C, R, W)
+    k = m3(xoff) + (xc - m3(minx))
+    zfrag = m3(zl) + k * m3(zinc)  # (C, R, W)
 
     # Fold the chunk: earlier (smaller slot == smaller id) wins ties.
     gids = rec[:, GID_LANE][:, None, None].astype(jnp.int32)  # (C, 1, 1)
@@ -203,14 +212,14 @@ def _tile_coords(origin_ref):
     ty = pl.program_id(0)
     tx = pl.program_id(1)
     rows = (
-        jax.lax.broadcasted_iota(jnp.int32, (TILE_H, 1), 0)
+        jax.lax.broadcasted_iota(jnp.int32, (1, TILE_H), 1)
         + (origin_ref[0] + ty * TILE_H)
-    ).astype(F32)
+    ).astype(F32)  # (1, R)
     cols = (
-        jax.lax.broadcasted_iota(jnp.int32, (1, TILE_W), 1)
+        jax.lax.broadcasted_iota(jnp.int32, (1, 1, TILE_W), 2)
         + (origin_ref[1] + tx * TILE_W)
-    ).astype(F32)
-    return rows[None, :, :], cols[None, :, :]  # (1,R,1), (1,1,W)
+    ).astype(F32)  # (1, 1, W)
+    return rows, cols
 
 
 def _visibility_kernel(count_ref, origin_ref, rec_ref, z_ref, idx_ref, *,
@@ -331,16 +340,14 @@ def _visibility_kernel_queue(wi_tile, blk_start, item_start, counts, origin,
         z_ref[:] = jnp.full((TILE_H, TILE_W), DEPTH_CLEAR, F32)
         idx_ref[:] = jnp.full((TILE_H, TILE_W), -1, jnp.int32)
 
-    rows = (
-        jax.lax.broadcasted_iota(jnp.int32, (TILE_H, 1), 0)
+    yf = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, TILE_H), 1)
         + (origin[0] + ty * TILE_H)
-    ).astype(F32)
-    cols = (
-        jax.lax.broadcasted_iota(jnp.int32, (1, TILE_W), 1)
+    ).astype(F32)  # (1, R)
+    xc = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, 1, TILE_W), 2)
         + (origin[1] + tx * TILE_W)
-    ).astype(F32)
-    yf = rows[None, :, :]
-    xc = cols[None, :, :]
+    ).astype(F32)  # (1, 1, W)
     w_f = F32(frame_width)
 
     def sub_body(sub, _):
@@ -357,6 +364,84 @@ def _visibility_kernel_queue(wi_tile, blk_start, item_start, counts, origin,
     jax.lax.fori_loop(0, sub_chunks, sub_body, 0)
 
 
+def _visibility_kernel_bcast(count_ref, origin_ref, rec_ref, z_ref, idx_ref,
+                             *, frame_width):
+    """Broadcast-list kernel: every tile rasterizes the SAME short record
+    list (the sorted strategy's large-triangle side pass). The single record
+    block has a constant index, so the pipeline keeps it resident — no
+    per-tile gather, no per-tile blocks."""
+    yf, xc = _tile_coords(origin_ref)
+    z_ref[:] = jnp.full((TILE_H, TILE_W), DEPTH_CLEAR, F32)
+    idx_ref[:] = jnp.full((TILE_H, TILE_W), -1, jnp.int32)
+    n = count_ref[0]
+    w_f = F32(frame_width)
+
+    def chunk_body(c, _):
+        base = c * CHUNK_T
+        rec = rec_ref[pl.ds(base, CHUNK_T), :]
+        _chunk_update(rec, base, n - base, yf, xc, w_f, z_ref, idx_ref)
+        return 0
+
+    jax.lax.fori_loop(0, (n + CHUNK_T - 1) // CHUNK_T, chunk_body, 0)
+
+
+def visibility_pass_broadcast(edges: EdgeTable, ids, count, height: int,
+                              width: int, frame_width: int | None = None,
+                              row0=0, col0=0):
+    """Rasterize one shared (short) id list over every tile."""
+    if frame_width is None:
+        frame_width = width
+    tiles_y = -(-height // TILE_H)
+    tiles_x = -(-width // TILE_W)
+    cap = ids.shape[0]
+    assert cap % CHUNK_T == 0
+
+    recs = pack_z_records(edges)
+    shared = jnp.where((ids >= 0)[:, None], recs[jnp.maximum(ids, 0)], F32(0.0))
+
+    kernel = functools.partial(
+        _visibility_kernel_bcast, frame_width=frame_width
+    )
+    padded_h = tiles_y * TILE_H
+    padded_w = tiles_x * TILE_W
+    interpret = jax.default_backend() != "tpu"
+
+    z, gid = pl.pallas_call(
+        kernel,
+        interpret=interpret,
+        grid=(tiles_y, tiles_x),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # count (1,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # origin
+            pl.BlockSpec(
+                (cap, REC_WIDTH), lambda ty, tx: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (TILE_H, TILE_W), lambda ty, tx: (ty, tx),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (TILE_H, TILE_W), lambda ty, tx: (ty, tx),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((padded_h, padded_w), F32),
+            jax.ShapeDtypeStruct((padded_h, padded_w), jnp.int32),
+        ],
+    )(
+        jnp.asarray(count, jnp.int32).reshape(1),
+        jnp.stack(
+            [jnp.asarray(row0, jnp.int32), jnp.asarray(col0, jnp.int32)]
+        ),
+        shared,
+    )
+    return z[:height, :width], gid[:height, :width]
+
+
 def visibility_pass_queue(edges: EdgeTable, qbins: QueueBins, height: int,
                           width: int, frame_width: int | None = None,
                           row0=0, col0=0):
@@ -367,9 +452,12 @@ def visibility_pass_queue(edges: EdgeTable, qbins: QueueBins, height: int,
     tiles_x = -(-width // TILE_W)
 
     recs = pack_z_records(edges)  # (T, 32)
-    rec_aligned = recs[jnp.maximum(qbins.aligned_tri, 0)]
+    # One id lookup + one row gather over the EB-sized prefix — row-gather
+    # cost on TPU is per-row, so minimizing gathered rows matters more than
+    # bytes (a 2M-row gather measured ~80 ms/frame).
+    ids = jnp.where(qbins.src_valid, qbins.sorted_tri[qbins.src], 0)
     rec_aligned = jnp.where(
-        (qbins.aligned_tri >= 0)[:, None], rec_aligned, F32(0.0)
+        qbins.src_valid[:, None], recs[ids], F32(0.0)
     )
     n_blocks = rec_aligned.shape[0] // QUEUE_BLK
     rec_aligned = rec_aligned.reshape(n_blocks, QUEUE_BLK, REC_WIDTH)
@@ -492,21 +580,11 @@ def rasterize_pallas(
             edges, qbins, height, width, frame_width, row0, col0
         )
         # Side pass for triangles too large for the expansion: every tile
-        # sees the (short, fixed-capacity) large list.
-        tiles_y = -(-height // TILE_H)
-        tiles_x = -(-width // TILE_W)
-        lcap = qbins.large_ids.shape[0]
-        large_bins = TileBins(
-            ids=jnp.broadcast_to(
-                qbins.large_ids, (tiles_y, tiles_x, lcap)
-            ),
-            counts=jnp.broadcast_to(
-                qbins.n_large.astype(jnp.int32), (tiles_y, tiles_x)
-            ),
-            n_dropped=qbins.n_dropped,
-        )
-        z_l, idx_l = visibility_pass(
-            edges, large_bins, height, width, frame_width, row0, col0
+        # sees the (short, fixed-capacity) large list via one shared,
+        # pipeline-resident record block.
+        z_l, idx_l = visibility_pass_broadcast(
+            edges, qbins.large_ids, qbins.n_large, height, width,
+            frame_width, row0, col0,
         )
         z, idx = _merge_by_gid(z, idx, z_l, idx_l)
         stats = {"bins_dropped": qbins.n_dropped}

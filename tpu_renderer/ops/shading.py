@@ -26,14 +26,42 @@ from ..geometry.vertex import unproject_vertices
 F32 = jnp.float32
 
 
-def sample_texture(texture, u, v, uv_mode: str = "scalar"):
-    """Nearest-neighbor ARGB fetch.
+def sample_texture(texture, u, v, uv_mode: str = "scalar",
+                   filter_mode: str = "nearest"):
+    """ARGB texture fetch.
 
-    scalar mode: round(uv * (dim-1)) with clamped indices
-    (projekt.cpp:429-445). avx mode: trunc(uv * dim) plus a uv-in-[0,1]
-    fragment mask (projekt.cpp:1044-1060). Returns (rgba, mask).
+    Nearest (reference-faithful): scalar mode rounds uv * (dim-1) with
+    clamped indices (projekt.cpp:429-445); avx mode truncates uv * dim plus
+    a uv-in-[0,1] fragment mask (projekt.cpp:1044-1060).
+    Bilinear (extension, BASELINE config 3): 4-texel lerp on the scalar
+    addressing convention. Returns (rgba, mask).
     """
     th, tw = texture.shape
+    if filter_mode == "bilinear":
+        tu = u * F32(tw - 1)
+        tv = v * F32(th - 1)
+        x0 = jnp.floor(tu)
+        y0 = jnp.floor(tv)
+        fx = (tu - x0)[..., None]
+        fy = (tv - y0)[..., None]
+        xi = jnp.clip(x0.astype(jnp.int32), 0, tw - 1)
+        yi = jnp.clip(y0.astype(jnp.int32), 0, th - 1)
+        xi1 = jnp.minimum(xi + 1, tw - 1)
+        yi1 = jnp.minimum(yi + 1, th - 1)
+        c00 = unpack_argb(texture[yi, xi])
+        c10 = unpack_argb(texture[yi, xi1])
+        c01 = unpack_argb(texture[yi1, xi])
+        c11 = unpack_argb(texture[yi1, xi1])
+        top = c00 + fx * (c10 - c00)
+        bot = c01 + fx * (c11 - c01)
+        rgba = top + fy * (bot - top)
+        if uv_mode == "avx":
+            mask = (u >= F32(0)) & (u <= F32(1)) & (v >= F32(0)) & (v <= F32(1))
+        else:
+            mask = jnp.ones(jnp.shape(u), bool)
+        return rgba, mask
+    if filter_mode != "nearest":
+        raise ValueError(f"unknown filter_mode: {filter_mode}")
     if uv_mode == "scalar":
         tx = jnp.clip(
             round_half_away(u * F32(tw - 1)).astype(jnp.int32), 0, tw - 1
@@ -88,7 +116,9 @@ def shade(covered, gbuf, transform: ProjectiveTransform, lights: LightData,
         inv_oz = F32(1.0) / gbuf[:, :, 10]
         u = jnp.where(covered, inv_oz * gbuf[:, :, 8], F32(0.0))
         v = jnp.where(covered, inv_oz * gbuf[:, :, 9], F32(0.0))
-        tex_rgba, tmask = sample_texture(texture, u, v, cfg.uv_mode)
+        tex_rgba, tmask = sample_texture(
+            texture, u, v, cfg.uv_mode, cfg.filter_mode
+        )
         col = jnp.where(covered[..., None], tex_rgba, col)
         if cfg.uv_mode == "avx":
             covered = covered & tmask

@@ -210,3 +210,31 @@ def render_scene_geometry_sharded(
     )
     # Zip/unzip because shard_map wants pytrees matching in_specs.
     return fn(objs, transform, lights)
+
+
+def gather_framebuffer(fb: Framebuffer, mesh: Mesh) -> Framebuffer:
+    """All-gather a tile-sharded framebuffer into a replicated one (ICI).
+
+    The tiled renderers return per-device sub-rects (no communication);
+    call this when every device (or the host, cheaply) needs the full frame
+    — e.g. before a device-side encode or a collective post-process.
+    """
+    # gather rows over 'ty' (axis 0) and cols over 'tx' (axis 1)
+    def fixed(color, depth):
+        c, d = color, depth
+        if "ty" in mesh.shape:
+            c = jax.lax.all_gather(c, "ty", axis=0, tiled=True)
+            d = jax.lax.all_gather(d, "ty", axis=0, tiled=True)
+        if "tx" in mesh.shape:
+            c = jax.lax.all_gather(c, "tx", axis=1, tiled=True)
+            d = jax.lax.all_gather(d, "tx", axis=1, tiled=True)
+        return Framebuffer(color=c, depth=d)
+
+    fn = shard_map(
+        fixed,
+        mesh=mesh,
+        in_specs=(P("ty", "tx"), P("ty", "tx")),
+        out_specs=Framebuffer(color=P(), depth=P()),
+        check_vma=False,
+    )
+    return fn(fb.color, fb.depth)
