@@ -41,3 +41,15 @@ def test_thread_count_does_not_change_output():
     c4, d4 = native.render(scene_g, tr_d, li_d, H, W, num_threads=4)
     np.testing.assert_array_equal(c1, c4)
     np.testing.assert_array_equal(d1, d4)
+
+
+def test_avx_matches_scalar_native():
+    """The 8-wide AVX span fill agrees with the scalar reference walk up to
+    the documented closed-form/group-normal divergences."""
+    scene_g, tr_d, li_d = scenes.baseline_scene(5, H, W)
+    cs, ds = native.render(scene_g, tr_d, li_d, H, W, use_avx=0)
+    ca, da = native.render(scene_g, tr_d, li_d, H, W, use_avx=1)
+    np.testing.assert_array_equal(ds > gold.DEPTH_CLEAR,
+                                  da > gold.DEPTH_CLEAR)
+    assert np.isclose(ds, da, rtol=1e-4, atol=1e-5).all()
+    assert (cs == ca).mean() > 0.99

@@ -51,7 +51,7 @@ def _load():
             f32p, f32p, f32p, f32p, ctypes.c_int,  # verts..uvs, vertex_count
             f32p, f32p, f32p, ctypes.c_int, f32p,  # p, transform, ambient, nl, lights
             u32p, ctypes.c_int, ctypes.c_int,  # texture, th, tw
-            ctypes.c_int, ctypes.c_int,  # phong, num_threads
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,  # phong, threads, avx
         ]
         lib.tr_clear.argtypes = [u32p, f32p, ctypes.c_int, ctypes.c_int,
                                  ctypes.c_uint32]
@@ -72,9 +72,10 @@ def _u32p(a):
 
 
 def render(scene, transform, lights, height, width, clear_color=0,
-           num_threads=0):
+           num_threads=0, use_avx=-1):
     """Native end-to-end render; same scene/transform/lights dict format as
-    golden.cpu_reference.render. num_threads=0 -> hardware concurrency."""
+    golden.cpu_reference.render. num_threads=0 -> hardware concurrency;
+    use_avx: -1 auto, 0 scalar (exact reference semantics), 1 force AVX."""
     lib = _load()
     if lib is None:
         raise RuntimeError(f"native golden unavailable: {_build_error}")
@@ -113,6 +114,6 @@ def render(scene, transform, lights, height, width, clear_color=0,
             _f32p(verts), _f32p(cols), _f32p(nrms), _f32p(uvs),
             verts.shape[0], _f32p(p), _f32p(tr5), _f32p(ambient),
             lp.shape[0], _f32p(l7), texp, th, tw,
-            1 if cfg.get("phong") else 0, num_threads,
+            1 if cfg.get("phong") else 0, num_threads, use_avx,
         )
     return color, depth

@@ -26,6 +26,13 @@
 #include <thread>
 #include <vector>
 
+#if defined(__AVX2__)
+#include <immintrin.h>
+#define TR_HAVE_AVX2 1
+#else
+#define TR_HAVE_AVX2 0
+#endif
+
 namespace {
 
 constexpr float kNearClip = 0.2f;
@@ -111,6 +118,7 @@ struct ObjectData {
   const uint32_t* texture;
   int tex_h, tex_w;
   bool phong;
+  bool use_avx;
 };
 
 // Gouraud per-vertex lighting (projekt.cpp:4022-4063).
@@ -236,6 +244,210 @@ inline uint32_t pack_argb(V4 c) {  // projekt.cpp:490-493
          (round_u32(c.g * 255.f) << 8) | round_u32(c.b * 255.f);
 }
 
+#if TR_HAVE_AVX2
+// 8-wide AVX2 span fill — the analog of the reference's FillLineOptimized
+// (projekt.cpp:1492-2320): closed-form per-lane attributes, per-lane texel
+// gather, 8-wide Blinn-Phong, masked z-test stores. Unlike the reference's
+// locked variant no spinlock is needed (rows are single-writer here).
+static inline __m256 clamp01_8(__m256 x) {
+  return _mm256_min_ps(_mm256_max_ps(x, _mm256_setzero_ps()),
+                       _mm256_set1_ps(1.f));
+}
+static inline __m256 rsqrt_exact_8(__m256 d) {
+  return _mm256_div_ps(_mm256_set1_ps(1.f), _mm256_sqrt_ps(d));
+}
+
+void fill_span_avx(const ObjectData& obj, const Transform& tr,
+                   const LightData& L, const Edge& Le, const Edge& Re,
+                   int row, uint32_t* color, float* depth, int W) {
+  float xl = Le.x, xr = Re.x;
+  float xd = roundf(xr - xl);
+  float zinc = 0, ozinc = 0, uinc = 0, vinc = 0;
+  V4 cinc{0, 0, 0, 0};
+  V3 ninc{0, 0, 0};
+  if (xd != 0.0f) {
+    float inv = 1.0f / xd;
+    zinc = (Re.z - Le.z) * inv;
+    ozinc = (Re.oz - Le.oz) * inv;
+    uinc = (Re.u - Le.u) * inv;
+    vinc = (Re.v - Le.v) * inv;
+    cinc = mul4(inv, add4(Re.col, mul4(-1.f, Le.col)));
+    ninc = mul(inv, sub(Re.n, Le.n));
+  }
+  float xoff = xl < 0.f ? -xl : 0.f;
+  float lx = xl < 0.f ? 0.f : (xl >= (float)W ? (float)W - 1.f : xl);
+  float rx = xr < 0.f ? 0.f : (xr >= (float)W ? (float)W - 1.f : xr);
+  int minx = std::min(round_s32(lx), W - 1);
+  int maxx = std::min(round_s32(rx), W - 1);
+  if (maxx < minx) return;
+
+  const __m256 lane =
+      _mm256_setr_ps(0.f, 1.f, 2.f, 3.f, 4.f, 5.f, 6.f, 7.f);
+  bool textured = obj.texture != nullptr;
+  uint32_t* px = color + (size_t)row * W;
+  float* zb = depth + (size_t)row * W;
+
+  for (int x = minx; x <= maxx; x += 8) {
+    int n = std::min(8, maxx - x + 1);
+    __m256 nmask =
+        _mm256_cmp_ps(lane, _mm256_set1_ps((float)n), _CMP_LT_OQ);
+    __m256 k = _mm256_add_ps(
+        _mm256_set1_ps(xoff + (float)(x - minx)), lane);
+    __m256 z = _mm256_add_ps(_mm256_set1_ps(Le.z),
+                             _mm256_mul_ps(k, _mm256_set1_ps(zinc)));
+    __m256 cr = _mm256_add_ps(_mm256_set1_ps(Le.col.r),
+                              _mm256_mul_ps(k, _mm256_set1_ps(cinc.r)));
+    __m256 cg = _mm256_add_ps(_mm256_set1_ps(Le.col.g),
+                              _mm256_mul_ps(k, _mm256_set1_ps(cinc.g)));
+    __m256 cb = _mm256_add_ps(_mm256_set1_ps(Le.col.b),
+                              _mm256_mul_ps(k, _mm256_set1_ps(cinc.b)));
+    __m256 ca = _mm256_add_ps(_mm256_set1_ps(Le.col.a),
+                              _mm256_mul_ps(k, _mm256_set1_ps(cinc.a)));
+
+    if (textured) {
+      __m256 oz = _mm256_add_ps(_mm256_set1_ps(Le.oz),
+                                _mm256_mul_ps(k, _mm256_set1_ps(ozinc)));
+      __m256 uu = _mm256_add_ps(_mm256_set1_ps(Le.u),
+                                _mm256_mul_ps(k, _mm256_set1_ps(uinc)));
+      __m256 vv = _mm256_add_ps(_mm256_set1_ps(Le.v),
+                                _mm256_mul_ps(k, _mm256_set1_ps(vinc)));
+      __m256 inv_oz = _mm256_div_ps(_mm256_set1_ps(1.f), oz);
+      alignas(32) float ua[8], va[8];
+      _mm256_store_ps(ua, _mm256_mul_ps(inv_oz, uu));
+      _mm256_store_ps(va, _mm256_mul_ps(inv_oz, vv));
+      alignas(32) float ra[8], ga[8], ba[8], aa[8];
+      for (int i = 0; i < n; ++i) {
+        V4 texc;
+        sample_texture(obj, ua[i], va[i], &texc);
+        ra[i] = texc.r; ga[i] = texc.g; ba[i] = texc.b; aa[i] = texc.a;
+      }
+      for (int i = n; i < 8; ++i) { ra[i]=ga[i]=ba[i]=aa[i]=0.f; }
+      cr = _mm256_load_ps(ra); cg = _mm256_load_ps(ga);
+      cb = _mm256_load_ps(ba); ca = _mm256_load_ps(aa);
+    }
+
+    __m256 fr = cr, fg = cg, fb = cb, fa = ca;
+    if (obj.phong) {
+      // 8-wide unproject (UnprojectVertex_8x, projekt.cpp:102-145)
+      __m256 dz = _mm256_sub_ps(_mm256_set1_ps(tr.dat), z);
+      __m256 inv_m2p = _mm256_set1_ps(1.0f / tr.m2p);
+      __m256 xs = _mm256_add_ps(_mm256_set1_ps((float)x), lane);
+      __m256 ax = _mm256_mul_ps(
+          _mm256_sub_ps(xs, _mm256_set1_ps(tr.cx)), inv_m2p);
+      __m256 ay = _mm256_mul_ps(
+          _mm256_sub_ps(_mm256_set1_ps((float)row),
+                        _mm256_set1_ps(tr.cy)), inv_m2p);
+      __m256 sscale = _mm256_div_ps(dz, _mm256_set1_ps(tr.focal));
+      __m256 posx = _mm256_mul_ps(sscale, ax);
+      __m256 posy = _mm256_mul_ps(sscale, ay);
+      __m256 posz = z;
+      // normal (group-stepped, renormalized per 8-px group like the
+      // reference AVX path projekt.cpp:1432-1440)
+      __m256 nx = _mm256_add_ps(_mm256_set1_ps(Le.n.x),
+                                _mm256_mul_ps(k, _mm256_set1_ps(ninc.x)));
+      __m256 ny = _mm256_add_ps(_mm256_set1_ps(Le.n.y),
+                                _mm256_mul_ps(k, _mm256_set1_ps(ninc.y)));
+      __m256 nz = _mm256_add_ps(_mm256_set1_ps(Le.n.z),
+                                _mm256_mul_ps(k, _mm256_set1_ps(ninc.z)));
+      __m256 nd = _mm256_add_ps(
+          _mm256_add_ps(_mm256_mul_ps(nx, nx), _mm256_mul_ps(ny, ny)),
+          _mm256_mul_ps(nz, nz));
+      __m256 ninv = rsqrt_exact_8(nd);
+      nx = _mm256_mul_ps(nx, ninv);
+      ny = _mm256_mul_ps(ny, ninv);
+      nz = _mm256_mul_ps(nz, ninv);
+      // view = normalize(-pos)
+      __m256 vd = _mm256_add_ps(
+          _mm256_add_ps(_mm256_mul_ps(posx, posx),
+                        _mm256_mul_ps(posy, posy)),
+          _mm256_mul_ps(posz, posz));
+      __m256 vinv = rsqrt_exact_8(vd);
+      __m256 vx = _mm256_mul_ps(_mm256_sub_ps(_mm256_setzero_ps(), posx), vinv);
+      __m256 vy = _mm256_mul_ps(_mm256_sub_ps(_mm256_setzero_ps(), posy), vinv);
+      __m256 vz = _mm256_mul_ps(_mm256_sub_ps(_mm256_setzero_ps(), posz), vinv);
+
+      fr = fg = fb = fa = _mm256_setzero_ps();
+      for (int li = 0; li < L.count; ++li) {
+        if (li == 0) {
+          fr = _mm256_mul_ps(cr, _mm256_set1_ps(L.ambient.r));
+          fg = _mm256_mul_ps(cg, _mm256_set1_ps(L.ambient.g));
+          fb = _mm256_mul_ps(cb, _mm256_set1_ps(L.ambient.b));
+          fa = _mm256_mul_ps(ca, _mm256_set1_ps(L.ambient.a));
+        }
+        const Light& lt = L.lights[li];
+        __m256 lxv = _mm256_sub_ps(_mm256_set1_ps(lt.p.x), posx);
+        __m256 lyv = _mm256_sub_ps(_mm256_set1_ps(lt.p.y), posy);
+        __m256 lzv = _mm256_sub_ps(_mm256_set1_ps(lt.p.z), posz);
+        __m256 ld = _mm256_add_ps(
+            _mm256_add_ps(_mm256_mul_ps(lxv, lxv), _mm256_mul_ps(lyv, lyv)),
+            _mm256_mul_ps(lzv, lzv));
+        __m256 linv = rsqrt_exact_8(ld);
+        lxv = _mm256_mul_ps(lxv, linv);
+        lyv = _mm256_mul_ps(lyv, linv);
+        lzv = _mm256_mul_ps(lzv, linv);
+        __m256 cosi = clamp01_8(_mm256_add_ps(
+            _mm256_add_ps(_mm256_mul_ps(nx, lxv), _mm256_mul_ps(ny, lyv)),
+            _mm256_mul_ps(nz, lzv)));
+        __m256 hx = _mm256_add_ps(lxv, vx);
+        __m256 hy = _mm256_add_ps(lyv, vy);
+        __m256 hz = _mm256_add_ps(lzv, vz);
+        __m256 hd = _mm256_add_ps(
+            _mm256_add_ps(_mm256_mul_ps(hx, hx), _mm256_mul_ps(hy, hy)),
+            _mm256_mul_ps(hz, hz));
+        __m256 hinv = rsqrt_exact_8(hd);
+        hx = _mm256_mul_ps(hx, hinv);
+        hy = _mm256_mul_ps(hy, hinv);
+        hz = _mm256_mul_ps(hz, hinv);
+        __m256 spec = clamp01_8(_mm256_add_ps(
+            _mm256_add_ps(_mm256_mul_ps(nx, hx), _mm256_mul_ps(ny, hy)),
+            _mm256_mul_ps(nz, hz)));
+        spec = _mm256_mul_ps(spec, spec);  // ^2
+        spec = _mm256_mul_ps(spec, spec);  // ^4
+        spec = _mm256_mul_ps(spec, spec);  // ^8
+        spec = _mm256_mul_ps(spec, spec);  // ^16 (projekt.cpp:1261-1266)
+        __m256 Ir = _mm256_set1_ps(lt.intensity.r);
+        __m256 Ig = _mm256_set1_ps(lt.intensity.g);
+        __m256 Ib = _mm256_set1_ps(lt.intensity.b);
+        __m256 Ia = _mm256_set1_ps(lt.intensity.a);
+        fr = _mm256_add_ps(fr, _mm256_add_ps(
+            _mm256_mul_ps(cosi, _mm256_mul_ps(cr, Ir)),
+            _mm256_mul_ps(spec, Ir)));
+        fg = _mm256_add_ps(fg, _mm256_add_ps(
+            _mm256_mul_ps(cosi, _mm256_mul_ps(cg, Ig)),
+            _mm256_mul_ps(spec, Ig)));
+        fb = _mm256_add_ps(fb, _mm256_add_ps(
+            _mm256_mul_ps(cosi, _mm256_mul_ps(cb, Ib)),
+            _mm256_mul_ps(spec, Ib)));
+        fa = _mm256_add_ps(fa, _mm256_add_ps(
+            _mm256_mul_ps(cosi, _mm256_mul_ps(ca, Ia)),
+            _mm256_mul_ps(spec, Ia)));
+      }
+      fr = clamp01_8(fr); fg = clamp01_8(fg);
+      fb = clamp01_8(fb); fa = clamp01_8(fa);
+    }
+
+    // pack ARGB (projekt.cpp:490-493; cvtps rounds to nearest)
+    __m256 s255 = _mm256_set1_ps(255.f);
+    __m256i pa = _mm256_cvtps_epi32(_mm256_mul_ps(fa, s255));
+    __m256i pr = _mm256_cvtps_epi32(_mm256_mul_ps(fr, s255));
+    __m256i pg = _mm256_cvtps_epi32(_mm256_mul_ps(fg, s255));
+    __m256i pb = _mm256_cvtps_epi32(_mm256_mul_ps(fb, s255));
+    __m256i packed = _mm256_or_si256(
+        _mm256_or_si256(_mm256_slli_epi32(pa, 24), _mm256_slli_epi32(pr, 16)),
+        _mm256_or_si256(_mm256_slli_epi32(pg, 8), pb));
+
+    // z-test + masked store (the reference's locked merge projekt.cpp:
+    // 1372-1409 without the spinlock: rows are single-writer here)
+    __m256 zold = _mm256_loadu_ps(zb + x);
+    __m256 zmask = _mm256_and_ps(
+        _mm256_cmp_ps(z, zold, _CMP_GT_OQ), nmask);
+    __m256i zmask_i = _mm256_castps_si256(zmask);
+    _mm256_maskstore_ps(zb + x, zmask_i, z);
+    _mm256_maskstore_epi32((int*)(px + x), zmask_i, packed);
+  }
+}
+#endif  // TR_HAVE_AVX2
+
 // Span fill, scalar reference semantics (projekt.cpp:303-539): sequential
 // attribute stepping, per-pixel normal renormalization in the Phong path.
 void fill_span(const ObjectData& obj, const Transform& tr, const LightData& L,
@@ -347,9 +559,16 @@ void raster_triangle_rows(const ObjectData& obj, const Transform& tr,
                (B.xg < A.xg || (B.xg == A.xg && B.left < A.left)));
           if (swap_it) std::swap(act[j - 1], act[j]);
         }
-      if (row % nthreads == tid && row >= 0)
-        fill_span(obj, tr, L, edges[act[0]], edges[act[1]], row, color,
-                  depth, W);
+      if (row % nthreads == tid && row >= 0) {
+#if TR_HAVE_AVX2
+        if (obj.use_avx)
+          fill_span_avx(obj, tr, L, edges[act[0]], edges[act[1]], row,
+                        color, depth, W);
+        else
+#endif
+          fill_span(obj, tr, L, edges[act[0]], edges[act[1]], row, color,
+                    depth, W);
+      }
     }
     // step all active edges (projekt.cpp:542-560)
     for (int i = 0; i < na; ++i) {
@@ -394,7 +613,7 @@ void tr_render_object(uint32_t* color, float* depth, int H, int W,
                       const float* transform5, const float* ambient4,
                       int light_count, const float* lights7,
                       const uint32_t* texture, int tex_h, int tex_w,
-                      int phong, int num_threads) {
+                      int phong, int num_threads, int use_avx) {
   Transform tr{transform5[0], transform5[1], transform5[2], transform5[3],
                transform5[4]};
   std::vector<Light> lights(light_count);
@@ -405,11 +624,16 @@ void tr_render_object(uint32_t* color, float* depth, int H, int W,
   }
   LightData L{{ambient4[0], ambient4[1], ambient4[2], ambient4[3]},
               lights.data(), light_count};
+  bool avx = use_avx > 0;
+#if !TR_HAVE_AVX2
+  avx = false;
+#endif
+  if (use_avx < 0) avx = TR_HAVE_AVX2;  // auto
   ObjectData obj{verts,   colors, normals,
                  uvs,     vertex_count,
                  {obj_p[0], obj_p[1], obj_p[2]},
                  texture, tex_h,  tex_w,
-                 phong != 0};
+                 phong != 0, avx};
 
   int n = num_threads > 0
               ? num_threads
