@@ -86,3 +86,34 @@ class TestProfiling:
         s = t.summary()
         assert s["frames"] == 3
         assert s["fps"] > 0
+
+
+class TestSSAA:
+    def test_ssaa_smooths_edges(self):
+        import jax
+        from tpu_renderer.engine.antialias import render_scene_ssaa
+        from tpu_renderer.engine.renderer import render_scene
+        from tpu_renderer.core.types import make_framebuffer
+        from tpu_renderer.models import scenes
+
+        h = w = 64
+        scene_g, tr_d, li_d = scenes.baseline_scene(1, h, w)
+        scene_j, tr, li = scenes.to_jax_scene(scene_g, tr_d, li_d)
+        fb1 = render_scene(make_framebuffer(h, w), scene_j, tr, li,
+                           backend="reference")
+        fb2 = render_scene_ssaa(scene_j, tr, li, h, w, factor=2,
+                                backend="reference")
+        c1, c2 = np.asarray(fb1.color), np.asarray(fb2.color)
+        # SSAA introduces intermediate edge colors
+        assert len(np.unique(c2)) > len(np.unique(c1))
+        # interiors agree up to subsample-shift quantization
+        both = (np.asarray(fb1.depth) > -3e38) & (np.asarray(fb2.depth) > -3e38)
+
+        def chans(c):
+            return np.stack(
+                [(c >> 16) & 0xFF, (c >> 8) & 0xFF, c & 0xFF], -1
+            ).astype(np.int32)
+
+        diff = np.abs(chans(c1)[both] - chans(c2)[both])
+        assert np.median(diff) <= 2
+        assert fb2.color.shape == (h, w)

@@ -17,8 +17,10 @@ Documented divergences from the reference binary (SURVEY.md §2.1, §7):
    active-edge list and fills between adjacent pairs (projekt.cpp:298-303),
    which mis-pairs edges of screen-overlapping triangles. We rasterize each
    triangle independently (strictly more correct; identical on non-overlapping
-   front-facing surfaces, which every reference scene is). An optional
-   model-level AET golden exists in ``aet_reference.py`` to quantify this.
+   front-facing surfaces, which every reference scene is). The
+   model-level AET golden in ``aet_reference.py`` quantifies this:
+   identical coverage on all baseline configs, ~1% of pixels differ where
+   the active list interleaves adjacent triangles (tests/test_aet.py).
 3. Normals: the reference renormalizes the running normal after every
    incremental step (projekt.cpp:504,551-552). We interpolate affinely and
    normalize once at the shading point.
