@@ -7,11 +7,15 @@ use (ops.spans semantics, projekt.cpp:306-539). This is pure gather + dense
 vector math — the TPU-friendly inversion of the reference's per-fragment
 scatter — and it runs exactly once per visible pixel.
 
-Performance shape: all per-triangle fields are packed into ONE (T, 128)
-f32 record row so the per-pixel gather is a single contiguous 512-byte row
-fetch (TPU gathers of full lanes run near memory bandwidth; per-field scalar
-gathers do not — measured 30x slower). Row-chunked with lax.map so the
-gathered (rows, W, 128) block stays bounded.
+Performance shape:
+- all per-triangle fields are packed into ONE (T, 128) f32 record row so the
+  per-pixel gather is a single contiguous row fetch (TPU row-gathers cost
+  per-row, not per-byte; per-field scalar gathers measured 30x slower);
+- all per-edge intermediates are plain (R, W) arrays — trailing size-3 dims
+  force padded layouts/relayouts on TPU (same pathology as in the
+  visibility kernel).
+Row-chunked with lax.map so the gathered (rows, W, 128) block stays bounded
+(row_block=32 measured best; bigger blocks thrash).
 """
 
 from __future__ import annotations
@@ -71,46 +75,42 @@ def _resolve_rows(rec_rows, z_rows, idx_rows, y_rows, width: int,
 
     rec_rows: (R, W, 128) per-pixel packed records; idx_rows: (R, W) global
     ids (-1 empty); y_rows: global frame rows; col0: global column origin.
+    All intermediates are (R, W) arrays (lists of 3 per edge).
     """
     covered = idx_rows >= 0
 
     def f(e, j):
         return rec_rows[..., e * EDGE_STRIDE + j]  # (R, W)
 
-    def f3(j):
-        return jnp.stack([f(0, j), f(1, j), f(2, j)], axis=-1)  # (R, W, 3)
-
-    valid = f3(_F_VALID) > F32(0.5)
-    ymin = f3(_F_YMIN)
-    ymax = f3(_F_YMAX)
-    x0, xg = f3(_F_X0), f3(_F_XG)
-    left = f3(_F_LEFT)
-
-    yf = y_rows[:, None, None].astype(F32)  # (R, 1, 1)
+    yf = y_rows[:, None].astype(F32)  # (R, 1)
     xf = (
         jnp.arange(width, dtype=F32) + jnp.asarray(col0, F32)
-    )[None, :, None]  # (1, W, 1) global frame cols
+    )[None, :]  # (1, W) global frame cols
 
-    act = valid & (ymin <= yf) & (yf < ymax)  # (R, W, 3)
-    dy = yf - ymin
-    xs = x0 + dy * xg
+    act, xs, dys = [], [], []
+    for e in range(3):
+        valid_e = f(e, _F_VALID) > F32(0.5)
+        ymin_e = f(e, _F_YMIN)
+        ymax_e = f(e, _F_YMAX)
+        dy = yf - ymin_e
+        act.append(valid_e & (ymin_e <= yf) & (yf < ymax_e))
+        xs.append(f(e, _F_X0) + dy * f(e, _F_XG))
+        dys.append(dy)
 
+    # AET ordering (projekt.cpp:212-216): lexicographic (x, xg, left, e).
     big = F32(_BIG)
-    kx = jnp.where(act, xs, big)
-    kg = jnp.where(act, xg, big)
-    kl = jnp.where(act, left, big)
+    kx = [jnp.where(act[e], xs[e], big) for e in range(3)]
+    kg = [jnp.where(act[e], f(e, _F_XG), big) for e in range(3)]
+    kl = [jnp.where(act[e], f(e, _F_LEFT), big) for e in range(3)]
 
     def less(i, j):
-        return (kx[..., i] < kx[..., j]) | (
-            (kx[..., i] == kx[..., j])
+        return (kx[i] < kx[j]) | (
+            (kx[i] == kx[j])
             & (
-                (kg[..., i] < kg[..., j])
+                (kg[i] < kg[j])
                 | (
-                    (kg[..., i] == kg[..., j])
-                    & (
-                        (kl[..., i] < kl[..., j])
-                        | ((kl[..., i] == kl[..., j]) & (i < j))
-                    )
+                    (kg[i] == kg[j])
+                    & ((kl[i] < kl[j]) | ((kl[i] == kl[j]) & (i < j)))
                 )
             )
         )
@@ -125,44 +125,17 @@ def _resolve_rows(rec_rows, z_rows, idx_rows, y_rows, width: int,
             cnt = t if cnt is None else cnt + t
         rank.append(cnt)
 
-    def pick(vals, r):
-        """vals (R,W,3) or (R,W,3,C); select the rank-r edge."""
-        if vals.ndim == 4:
-            sel = [rk[..., None] for rk in rank]
-            return jnp.where(
-                sel[0] == r, vals[..., 0, :],
-                jnp.where(sel[1] == r, vals[..., 1, :], vals[..., 2, :]),
-            )
-        return jnp.where(
-            rank[0] == r, vals[..., 0],
-            jnp.where(rank[1] == r, vals[..., 1], vals[..., 2]),
-        )
+    isL = [rank[e] == 0 for e in range(3)]
+    isR = [rank[e] == 1 for e in range(3)]
 
-    def attr_scalar(j):
-        a0 = f3(j)
-        ag = f3(j + 1)
-        vals = a0 + dy * ag
-        return pick(vals, 0), pick(vals, 1)
+    def pick(vals, sel):
+        return jnp.where(sel[0], vals[0], jnp.where(sel[1], vals[1], vals[2]))
 
-    def attr_vec(j0, jg, n):
-        a0 = jnp.stack(
-            [jnp.stack([f(e, j0 + c) for e in range(3)], axis=-1)
-             for c in range(n)], axis=-1,
-        )  # (R, W, 3, n)
-        ag = jnp.stack(
-            [jnp.stack([f(e, jg + c) for e in range(3)], axis=-1)
-             for c in range(n)], axis=-1,
-        )
-        vals = a0 + dy[..., None] * ag
-        return pick(vals, 0), pick(vals, 1)
+    def attr_lr(j0, jg):
+        vals = [f(e, j0) + dys[e] * f(e, jg) for e in range(3)]
+        return pick(vals, isL), pick(vals, isR)
 
-    xl, xr = pick(xs, 0), pick(xs, 1)  # (R, W)
-    zl, zr = attr_scalar(_F_Z0)
-    ozl, ozr = attr_scalar(_F_OZ0)
-    ul, ur = attr_scalar(_F_U0)
-    vl, vr = attr_scalar(_F_V0)
-    cl, cr = attr_vec(_F_COL0, _F_COLG, 4)  # (R, W, 4)
-    nl, nr = attr_vec(_F_N0, _F_NG, 3)  # (R, W, 3)
+    xl, xr = pick(xs, isL), pick(xs, isR)  # (R, W)
 
     # Span setup at this pixel (projekt.cpp:306-421 closed form).
     xd = round_half_away(xr - xl)
@@ -173,30 +146,33 @@ def _resolve_rows(rec_rows, z_rows, idx_rows, y_rows, width: int,
         xl < F32(0.0), F32(0.0), jnp.where(xl >= w_f, w_f - F32(1.0), xl)
     )
     minx = jnp.minimum(round_half_away(lx), w_f - F32(1.0))
-    k = xoff + (xf[..., 0] - minx)  # (R, W)
+    k = xoff + (xf - minx)  # (R, W)
 
-    def interp(al, ar):
-        if al.ndim == 3:  # vector channels
-            inc = jnp.where(nz[..., None], (ar - al) / xd[..., None], F32(0.0))
-            return al + k[..., None] * inc
+    def interp(j0, jg):
+        al, ar = attr_lr(j0, jg)
         inc = jnp.where(nz, (ar - al) / xd, F32(0.0))
         return al + k * inc
 
-    col = interp(cl, cr)
-    nrm = interp(nl, nr)
-    u = interp(ul, ur)
-    v = interp(vl, vr)
-    oz = interp(ozl, ozr)
+    u = interp(_F_U0, _F_UG)
+    v = interp(_F_V0, _F_VG)
+    oz = interp(_F_OZ0, _F_OZG)
+    col = [interp(_F_COL0 + c, _F_COLG + c) for c in range(4)]
+    nrm = [interp(_F_N0 + c, _F_NG + c) for c in range(3)]
 
-    c1 = covered[..., None]
-    gbuf = jnp.concatenate(
+    zero = F32(0.0)
+    gbuf = jnp.stack(
         [
-            z_rows[..., None],
-            jnp.where(c1, col, F32(0.0)),
-            jnp.where(c1, nrm, F32(0.0)),
-            jnp.where(covered, u, F32(0.0))[..., None],
-            jnp.where(covered, v, F32(0.0))[..., None],
-            jnp.where(covered, oz, F32(0.0))[..., None],
+            z_rows,
+            jnp.where(covered, col[0], zero),
+            jnp.where(covered, col[1], zero),
+            jnp.where(covered, col[2], zero),
+            jnp.where(covered, col[3], zero),
+            jnp.where(covered, nrm[0], zero),
+            jnp.where(covered, nrm[1], zero),
+            jnp.where(covered, nrm[2], zero),
+            jnp.where(covered, u, zero),
+            jnp.where(covered, v, zero),
+            jnp.where(covered, oz, zero),
         ],
         axis=-1,
     )
