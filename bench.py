@@ -1,13 +1,31 @@
 #!/usr/bin/env python
-"""Benchmark: flagship TPU path vs the CPU golden reference.
+"""Benchmark harness: flagship TPU path vs the CPU golden reference.
 
-Headline config (BASELINE.json #4): per-pixel Blinn-Phong with multiple
-point lights at 1920x1080. The TPU path is the Pallas visibility-buffer
-rasterizer + deferred shading; the baseline is this repo's CPU golden
-(the reference's semantics, measured on this machine and cached in
-.bench_cpu_baseline.json — delete the file to re-measure).
+Default (driver contract): ONE JSON line for the headline config
+(BASELINE.json #4: per-pixel Blinn-Phong, multiple point lights, 1080p):
+    {"metric", "value", "unit", "vs_baseline"}
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Modes (BASELINE.md protocol):
+    --suite    all five BASELINE configs: fps, Mtri/s, Gpix/s, TPU vs the
+               native CPU golden; one JSON line per config on stdout and
+               the full table in BENCH_SUITE.json.
+    --parity   render configs 1 and 4 ON THE DEVICE (whatever platform is
+               default — the real TPU under axon) and check the golden
+               budgets there: coverage flips, >1-ulp depth, color mismatch.
+    --stages   per-stage device-time breakdown of config 4
+               (utils.profiling.stage_breakdown).
+
+The TPU timing method runs frames inside one compiled ``lax.scan`` with
+per-frame varying rotation and a chained carry, then ONE host fetch forces
+completion — this defeats both async-dispatch under-counting and runtime
+caching of identical executions (both observed on tunneled TPU runtimes;
+naive block_until_ready timing here can be off by 1000x either way).
+
+The CPU baseline is this repo's native C++ golden (faithful reference
+semantics, -O3 -march=native, explicit AVX2 8-wide span fill) running on
+ALL hardware threads; the measured thread count is recorded alongside every
+number. The NumPy golden is the fallback when no toolchain exists (cached
+in .bench_cpu_baseline.json because it is ~1000x slower to measure).
 """
 
 from __future__ import annotations
@@ -17,34 +35,41 @@ import os
 import sys
 import time
 
-HEIGHT, WIDTH = 1080, 1920
-CONFIG = 4
-WARMUP = 3
-ITERS = 30
+HEADLINE_CONFIG = 4
+RESOLUTIONS = {
+    1: (512, 512),
+    2: (512, 512),
+    3: (512, 512),
+    4: (1080, 1920),
+    5: (1080, 1920),
+}
+CONFIG_NAMES = {
+    1: "flat_cube_512",
+    2: "gouraud_teapot_obj_512",
+    3: "textured_cube_512",
+    4: "phong_multilight_1080p",
+    5: "multi_object_1080p",
+}
+WARM_ITERS = 30
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      ".bench_cpu_baseline.json")
 
 
-def measure_tpu_fps():
-    """Device throughput via an in-graph frame loop.
+def measure_tpu_fps(config: int, height: int, width: int,
+                    iters: int = WARM_ITERS):
+    """Device throughput for one config via an in-graph frame loop.
 
-    ITERS frames run inside one compiled lax.scan with per-frame varying
-    rotation and a chained carry, then ONE host fetch forces completion —
-    this defeats both async-dispatch under-counting and any runtime caching
-    of identical executions (both observed on tunneled TPU runtimes; naive
-    block_until_ready timing here can be off by orders of magnitude).
-    """
+    Returns (fps, tris_submitted, covered_px)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from tpu_renderer.core.math import pack_argb
     from tpu_renderer.core.types import make_framebuffer
     from tpu_renderer.engine.renderer import render_scene
     from tpu_renderer.geometry.transform import rotate_object, rotation_y
     from tpu_renderer.models import scenes
 
-    scene_g, tr_d, li_d = scenes.baseline_scene(CONFIG, HEIGHT, WIDTH)
+    scene_g, tr_d, li_d = scenes.baseline_scene(config, height, width)
     scene_j, transform, lights = scenes.to_jax_scene(scene_g, tr_d, li_d)
     objs = tuple(jax.device_put(o) for o, _ in scene_j)
     cfgs = tuple(c for _, c in scene_j)
@@ -55,7 +80,7 @@ def measure_tpu_fps():
             a = angle + carry * jnp.float32(1e-30)  # chain frames
             spun = tuple(rotate_object(o, rotation_y(a)) for o in objs)
             fb = render_scene(
-                make_framebuffer(HEIGHT, WIDTH),
+                make_framebuffer(height, width),
                 list(zip(spun, cfgs)),
                 transform,
                 lights,
@@ -68,76 +93,191 @@ def measure_tpu_fps():
             return carry + check * jnp.float32(1e-20), covered
         return jax.lax.scan(body, jnp.float32(0.0), angles)
 
-    angles = jnp.linspace(0.0, 0.6, ITERS).astype(jnp.float32)
+    angles = jnp.linspace(0.0, 0.6, iters).astype(jnp.float32)
     out = frames(objs, transform, lights, angles)
     _ = float(out[0])  # compile + warm
 
     t0 = time.perf_counter()
     out = frames(objs, transform, lights, angles)
     _ = float(out[0])  # single fetch forces the whole chain
-    dt = (time.perf_counter() - t0) / ITERS
+    dt = (time.perf_counter() - t0) / iters
 
     tris = sum(int(o.vertices.shape[0]) // 3 for o in objs)
     covered = int(np.asarray(out[1])[-1])
     return 1.0 / dt, tris, covered
 
 
-def measure_cpu_fps():
-    """CPU baseline fps at the same config (cached across runs).
+def measure_cpu_fps(config: int, height: int, width: int):
+    """CPU baseline fps at the same config.
 
-    Preferred baseline: the native C++ golden (faithful reference semantics,
-    -O3 -march=native, multithreaded); falls back to the NumPy golden when
-    no toolchain is available.
-    """
-    if os.path.exists(CACHE):
-        with open(CACHE) as f:
-            return json.load(f)["cpu_fps"]
+    Returns (fps, kind, threads). The native golden is measured fresh each
+    run (it is fast); the NumPy-golden fallback is cached across runs."""
     from tpu_renderer.models import scenes
 
-    scene_g, tr_d, li_d = scenes.baseline_scene(CONFIG, HEIGHT, WIDTH)
+    scene_g, tr_d, li_d = scenes.baseline_scene(config, height, width)
     from tpu_renderer.golden import native
 
+    threads = os.cpu_count() or 1
     if native.available():
         native.render(scene_g, tr_d, li_d, 64, 64)  # warm up / build
-        # median of 3 runs of 5 frames (single-core timing is noisy)
+        # median of 3 runs of 5 frames (timing is noisy on a loaded box)
         runs = []
         for _ in range(3):
             iters = 5
             t0 = time.perf_counter()
             for _ in range(iters):
-                native.render(scene_g, tr_d, li_d, HEIGHT, WIDTH)
+                native.render(scene_g, tr_d, li_d, height, width)
             runs.append((time.perf_counter() - t0) / iters)
-        dt = sorted(runs)[1]
-        baseline = "native-avx"
-    else:
-        from tpu_renderer.golden import cpu_reference as gold
+        return 1.0 / sorted(runs)[1], "native-avx", threads
 
-        t0 = time.perf_counter()
-        gold.render(scene_g, tr_d, li_d, HEIGHT, WIDTH)
-        dt = time.perf_counter() - t0
-        baseline = "numpy"
-    cpu_fps = 1.0 / dt
+    key = f"{config}@{height}x{width}"
+    if os.path.exists(CACHE):
+        with open(CACHE) as f:
+            cache = json.load(f)
+        if key in cache:
+            ent = cache[key]
+            return ent["cpu_fps"], ent["kind"], ent.get("threads", 1)
+    else:
+        cache = {}
+    from tpu_renderer.golden import cpu_reference as gold
+
+    t0 = time.perf_counter()
+    gold.render(scene_g, tr_d, li_d, height, width)
+    fps = 1.0 / (time.perf_counter() - t0)
+    cache[key] = {"cpu_fps": fps, "kind": "numpy", "threads": 1}
     with open(CACHE, "w") as f:
-        json.dump({"cpu_fps": cpu_fps, "config": CONFIG, "kind": baseline,
-                   "resolution": [HEIGHT, WIDTH]}, f)
-    return cpu_fps
+        json.dump(cache, f)
+    return fps, "numpy", 1
+
+
+def bench_config(config: int):
+    height, width = RESOLUTIONS[config]
+    tpu_fps, tris, covered = measure_tpu_fps(config, height, width)
+    cpu_fps, kind, threads = measure_cpu_fps(config, height, width)
+    return {
+        "config": config,
+        "name": CONFIG_NAMES[config],
+        "resolution": [height, width],
+        "triangles": tris,
+        "covered_px": covered,
+        "tpu_fps": round(tpu_fps, 2),
+        "tpu_mtri_per_s": round(tris * tpu_fps / 1e6, 3),
+        "tpu_gpix_per_s": round(covered * tpu_fps / 1e9, 4),
+        "cpu_fps": round(cpu_fps, 2),
+        "cpu_baseline": kind,
+        "cpu_threads": threads,
+        "vs_baseline": round(tpu_fps / cpu_fps, 2),
+    }
+
+
+def run_headline():
+    r = bench_config(HEADLINE_CONFIG)
+    print(json.dumps({
+        "metric": "fps_1080p_phong_multilight",
+        "value": r["tpu_fps"],
+        "unit": "fps",
+        "vs_baseline": r["vs_baseline"],
+    }))
+    print(
+        f"# detail: {r['triangles']} tris, {r['covered_px']} px covered, "
+        f"tpu {r['tpu_fps']} fps vs cpu-golden {r['cpu_fps']} fps "
+        f"({r['cpu_baseline']}, {r['cpu_threads']} threads)",
+        file=sys.stderr,
+    )
+
+
+def run_suite():
+    results = []
+    for config in sorted(RESOLUTIONS):
+        r = bench_config(config)
+        results.append(r)
+        print(json.dumps({
+            "metric": f"fps_{r['name']}",
+            "value": r["tpu_fps"],
+            "unit": "fps",
+            "vs_baseline": r["vs_baseline"],
+            "mtri_per_s": r["tpu_mtri_per_s"],
+            "gpix_per_s": r["tpu_gpix_per_s"],
+        }))
+        sys.stdout.flush()
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_SUITE.json")
+    with open(path, "w") as f:
+        json.dump({"results": results}, f, indent=1)
+    print(f"# suite written to {path}", file=sys.stderr)
+
+
+def run_parity():
+    """Golden parity of frames produced on THIS process's default device
+    (the real TPU under the pinned axon platform). Budgets per golden
+    divergence #8: coverage flips and >1-ulp depth deltas are boundary
+    effects; color must match on interior pixels."""
+    import numpy as np
+    import jax
+
+    from tpu_renderer.core.types import make_framebuffer
+    from tpu_renderer.engine.renderer import render_scene
+    from tpu_renderer.golden import cpu_reference as gold
+    from tpu_renderer.models import scenes
+
+    print(f"# parity device: {jax.devices()[0]}", file=sys.stderr)
+    out = {}
+    for config in (1, 4):
+        h, w = 256, 256
+        scene_g, tr_d, li_d = scenes.baseline_scene(config, h, w)
+        scene_j, tr, li = scenes.to_jax_scene(scene_g, tr_d, li_d)
+        gc, gd = gold.render(scene_g, tr_d, li_d, h, w)
+        fb = jax.jit(
+            lambda t, l: render_scene(
+                make_framebuffer(h, w), scene_j, t, l, backend="pallas"
+            )
+        )(tr, li)
+        dc = np.asarray(fb.color)
+        dd = np.asarray(fb.depth)
+
+        cov_g = gd > np.float32(-3.0e38)
+        cov_d = dd > np.float32(-3.0e38)
+        flips = float((cov_g != cov_d).mean())
+        both = cov_g & cov_d
+        ia = gd[both].view(np.int32).astype(np.int64)
+        ib = dd[both].view(np.int32).astype(np.int64)
+        depth_viol = float((np.abs(ia - ib) > 1).mean())
+        color_mis = float((gc[both] != dc[both]).mean())
+        rec = {
+            "coverage_flip_frac": round(flips, 6),
+            "depth_gt1ulp_frac": round(depth_viol, 6),
+            "color_mismatch_frac": round(color_mis, 6),
+            "pass": flips <= 0.002 and depth_viol <= 0.005
+                    and color_mis <= 0.01,
+        }
+        out[f"config{config}"] = rec
+        print(json.dumps({"metric": f"onchip_parity_config{config}", **rec}))
+    return out
+
+
+def run_stages():
+    from tpu_renderer.models import scenes
+    from tpu_renderer.utils.profiling import stage_breakdown
+
+    h, w = RESOLUTIONS[HEADLINE_CONFIG]
+    scene_g, tr_d, li_d = scenes.baseline_scene(HEADLINE_CONFIG, h, w)
+    scene_j, tr, li = scenes.to_jax_scene(scene_g, tr_d, li_d)
+    obj, cfg = scene_j[0]
+    bd = stage_breakdown(obj, cfg, tr, li, h, w)
+    print(json.dumps({k: (round(v, 3) if isinstance(v, float) else v)
+                      for k, v in bd.items()}))
 
 
 def main():
-    tpu_fps, tris, covered = measure_tpu_fps()
-    cpu_fps = measure_cpu_fps()
-    result = {
-        "metric": "fps_1080p_phong_multilight",
-        "value": round(tpu_fps, 2),
-        "unit": "fps",
-        "vs_baseline": round(tpu_fps / cpu_fps, 2),
-    }
-    print(json.dumps(result))
-    print(
-        f"# detail: {tris} tris, {covered} px covered, "
-        f"tpu {tpu_fps:.1f} fps vs cpu-golden {cpu_fps:.3f} fps",
-        file=sys.stderr,
-    )
+    args = set(sys.argv[1:])
+    if "--suite" in args:
+        run_suite()
+    elif "--parity" in args:
+        run_parity()
+    elif "--stages" in args:
+        run_stages()
+    else:
+        run_headline()
 
 
 if __name__ == "__main__":

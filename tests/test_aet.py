@@ -19,8 +19,13 @@ F = np.float32
 H = W = 96
 
 
-@pytest.mark.parametrize("config", [1, 2, 4])
+@pytest.mark.parametrize("config", [1, 4])
 def test_aet_agrees_on_reference_scenes(config):
+    # Configs 1/4 (cube, sphere) are the reference's scene class: closed
+    # convex surfaces whose front faces never overlap in screen space.
+    # Config 2's teapot is deliberately NOT here: its spout/handle overlap
+    # the body on shared scanlines, which is divergence #2 territory (see
+    # test_aet_mispairs_x_interleaved_triangles).
     scene_g, tr_d, li_d = scenes.baseline_scene(config, H, W)
     gc, gd = gold.render(scene_g, tr_d, li_d, H, W)
     ac, ad = aet.render(scene_g, tr_d, li_d, H, W)
@@ -39,39 +44,69 @@ def test_aet_agrees_on_reference_scenes(config):
     assert (gc[both] == ac[both]).mean() > 0.97
 
 
-def test_aet_mispairs_overlapping_triangles():
-    """Two screen-overlapping triangles at the same rows: the whole-model
-    AET pairs edge 1 of triangle A with edge 1 of triangle B, filling the
-    gap between them — the per-triangle golden does not."""
-    v = np.array(
-        [
-            # triangle A (left)
-            [-0.8, -0.4, 0.0], [-0.5, 0.4, 0.0], [-0.2, -0.4, 0.0],
-            # triangle B (right), same y-range -> interleaves in the AET
-            [0.2, -0.4, 0.0], [0.5, 0.4, 0.0], [0.8, -0.4, 0.0],
-        ],
-        F,
-    )
-    obj = dict(
+def _two_triangle_obj(v):
+    return dict(
         p=(0, 0, 0),
-        vertices=v,
+        vertices=np.asarray(v, F),
         colors=np.ones((6, 4), F),
         normals=np.tile(np.float32([0, 0, 1]), (6, 1)),
         uvs=np.zeros((6, 2), F),
     )
-    tr = dict(distance_above_target=3.0, focal_length=1.0,
-              meters_to_pixels=48.0, screen_center=(48.0, 48.0))
-    li = dict(ambient=(1, 1, 1, 1), light_p=np.zeros((0, 3), F),
-              light_intensity=np.zeros((0, 4), F))
-    # NOTE: both triangles are CW-visible; their x-ranges do NOT overlap,
-    # but their y-ranges do, so the model AET's active list interleaves
-    # edges of A and B. Pairing (1st,2nd),(3rd,4th) still happens to pair
-    # within-triangle here; to force mis-pairing, drop one edge by making
-    # one triangle's bottom horizontal (rejected edge count becomes odd).
-    gc, gd = gold.render([(obj, {})], tr, li, 96, 96)
-    ac, ad = aet.render([(obj, {})], tr, li, 96, 96)
+
+
+_TR = dict(distance_above_target=3.0, focal_length=1.0,
+           meters_to_pixels=48.0, screen_center=(48.0, 48.0))
+_LI = dict(ambient=(1, 1, 1, 1), light_p=np.zeros((0, 3), F),
+           light_intensity=np.zeros((0, 4), F))
+
+
+def test_aet_mispairs_x_interleaved_triangles():
+    """Divergence #2, positively asserted.
+
+    Triangle B's x-range overlaps triangle A's on their shared bottom rows,
+    so the whole-model active list sorts as A.left < B.left < A.right <
+    B.right. Pairing adjacent edges spans (A.left, B.left) and
+    (A.right, B.right) — CROSS-triangle spans — and the doubly-covered gap
+    (B.left, A.right) is never filled. The per-triangle golden fills it.
+    This test fails if the documented divergence disappears (i.e. if the
+    two goldens start agreeing on interleaved geometry)."""
+    v = [
+        # triangle A (left): screen x 35.2..44.8, y 41.6..54.4
+        [-0.8, -0.4, 0.0], [-0.5, 0.4, 0.0], [-0.2, -0.4, 0.0],
+        # triangle B: x-range 40.8..52.8 OVERLAPS A's at the bottom rows
+        [-0.45, -0.4, 0.0], [-0.15, 0.4, 0.0], [0.15, -0.4, 0.0],
+    ]
+    obj = _two_triangle_obj(v)
+    gc, gd = gold.render([(obj, {})], _TR, _LI, 96, 96)
+    ac, ad = aet.render([(obj, {})], _TR, _LI, 96, 96)
     cov_g = gd > gold.DEPTH_CLEAR
     cov_a = ad > gold.DEPTH_CLEAR
-    # Here the two agree (the reference's demo scenes rely on this); the
-    # divergence only appears with odd active-edge counts / overlaps.
+
+    # The per-triangle golden covers the union including the overlap.
+    gap = cov_g & ~cov_a
+    assert gap.sum() >= 5, "expected an unfilled AET mis-pairing gap"
+    # The gap sits strictly inside the overlap band (bottom rows, between
+    # B.left and A.right): every gap pixel has gold-covered pixels both
+    # left and right of it on its row — it is a hole, not a boundary nick.
+    rows, cols = np.nonzero(gap)
+    for r, c in zip(rows, cols):
+        assert cov_g[r, :c].any() and cov_g[r, c + 1:].any()
+    # The AET never covers anything the per-triangle golden doesn't.
+    assert not (cov_a & ~cov_g).any()
+
+
+def test_aet_agrees_when_not_interleaved():
+    """Same two triangles pulled apart in x (y-ranges still overlap): the
+    active list interleaves by row but adjacent-pair spans stay within one
+    triangle, so the goldens agree — the property the reference's demo
+    scenes rely on."""
+    v = [
+        [-0.8, -0.4, 0.0], [-0.5, 0.4, 0.0], [-0.2, -0.4, 0.0],
+        [0.2, -0.4, 0.0], [0.5, 0.4, 0.0], [0.8, -0.4, 0.0],
+    ]
+    obj = _two_triangle_obj(v)
+    gc, gd = gold.render([(obj, {})], _TR, _LI, 96, 96)
+    ac, ad = aet.render([(obj, {})], _TR, _LI, 96, 96)
+    cov_g = gd > gold.DEPTH_CLEAR
+    cov_a = ad > gold.DEPTH_CLEAR
     assert (cov_g == cov_a).mean() > 0.98

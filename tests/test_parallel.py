@@ -82,6 +82,56 @@ def test_geometry_sharded_pallas_backend(eight_devices):
     assert 1.0 - ok.mean() <= 0.005
 
 
+def _multi_sphere_scene(n=5):
+    """n same-config overlapping spheres at staggered depths/positions —
+    depth ties and occlusion exercise the submission-order rule."""
+    from tpu_renderer.core.types import ObjectConfig, make_object
+    from tpu_renderer.models.sphere import construct_sphere
+
+    mesh = construct_sphere(12)
+    scene = []
+    for i in range(n):
+        p = (-0.6 + 0.3 * i, 0.15 * (i % 3) - 0.15, 0.2 * (i % 2))
+        scene.append((make_object(p, **mesh), ObjectConfig()))
+    return scene
+
+
+def test_object_sharded_matches_single_device(eight_devices):
+    from tpu_renderer.parallel.mesh import render_scene_object_sharded
+
+    _, tr, li = build(1)
+    scene = _multi_sphere_scene(5)  # pads to 8 objects over 8 shards
+    fb0 = render_scene(
+        make_framebuffer(H, W), scene, tr, li, backend="reference"
+    )
+    mesh = Mesh(eight_devices.reshape(8), ("obj",))
+    fb1 = render_scene_object_sharded(
+        scene, tr, li, H, W, mesh, backend="reference"
+    )
+    np.testing.assert_array_equal(np.asarray(fb1.color),
+                                  np.asarray(fb0.color))
+    np.testing.assert_array_equal(np.asarray(fb1.depth),
+                                  np.asarray(fb0.depth))
+
+
+def test_object_sharded_composes_with_tiles(eight_devices):
+    from tpu_renderer.parallel.mesh import render_scene_object_sharded
+
+    _, tr, li = build(1)
+    scene = _multi_sphere_scene(4)
+    fb0 = render_scene(
+        make_framebuffer(H, W), scene, tr, li, backend="reference"
+    )
+    mesh = Mesh(eight_devices.reshape(2, 2, 2), ("obj", "ty", "tx"))
+    fb1 = render_scene_object_sharded(
+        scene, tr, li, H, W, mesh, backend="reference"
+    )
+    np.testing.assert_array_equal(np.asarray(fb1.color),
+                                  np.asarray(fb0.color))
+    np.testing.assert_array_equal(np.asarray(fb1.depth),
+                                  np.asarray(fb0.depth))
+
+
 def test_graft_entry_points(eight_devices):
     import __graft_entry__ as g
 

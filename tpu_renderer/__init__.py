@@ -3,9 +3,9 @@
 Brand-new implementation of the capabilities of MacSpain/cpu-renderer (an
 AVX + multithreaded scanline software rasterizer) redesigned for TPU:
 vertex transform / culling / Gouraud lighting / triangle setup and tile
-binning run as XLA ops; visibility (coverage + depth) runs as Pallas kernels
-over VMEM-resident framebuffer tiles; attribute resolve and texture/Phong
-shading run as dense deferred XLA passes; multi-chip scaling uses
+binning run as XLA ops; rasterization (coverage + depth + attribute interpolation,
+fused) runs as Pallas kernels over VMEM-resident framebuffer tiles;
+texture/Phong shading runs as a dense deferred XLA pass; multi-chip scaling uses
 jax.sharding.Mesh + shard_map (framebuffer tiles and/or triangle shards)
 with ICI collectives. See SURVEY.md for the reference analysis and
 golden/cpu_reference.py for the behavioral spec + documented divergences.

@@ -139,79 +139,85 @@ def setup_triangles(
     else:
         gcol = gouraud_vertex_colors(colors, normals, cam, lights, cfg.textured)
 
-    fields = {k: [] for k in EdgeTable._fields}
-    for (i0, i1) in EDGE_INDICES:
-        swap = proj[:, i0, 1] > proj[:, i1, 1]  # order endpoints by y
-
-        def pick(arr, lo=i0, hi=i1, s=swap):
-            sel = s.reshape(s.shape + (1,) * (arr.ndim - 2))
-            return jnp.where(sel, arr[:, hi], arr[:, lo]), jnp.where(
-                sel, arr[:, lo], arr[:, hi]
-            )
-
-        minv, maxv = pick(proj)
-        cam_mn, cam_mx = pick(cam)
-        col_mn, col_mx = pick(gcol)
-        n_mn, n_mx = pick(normals)
-        uv_mn, uv_mx = pick(uvs)
-
-        keep = (
-            visible
-            & (maxv[:, 1] > F32(0.0))  # offscreen-top reject cpp:3968
-            & (minv[:, 1] - maxv[:, 1] != F32(0.0))  # horizontal cpp:4066
+    # All 3 edges at once on a (T, 3) edge axis (EDGE_INDICES order:
+    # endpoint pairs (0,1), (1,2), (2,0) — the lo endpoint is the vertex
+    # itself, the hi endpoint the next vertex, so `roll` builds the pairs
+    # without gathers). Elementwise op order is identical to the golden's
+    # per-edge scalar code, so bit-parity is preserved.
+    def endpoints(arr):
+        a_lo = arr  # vertex i0 per edge
+        a_hi = jnp.roll(arr, -1, axis=1)  # vertex i1 per edge
+        sel = swap.reshape(swap.shape + (1,) * (arr.ndim - 2))
+        return (
+            jnp.where(sel, a_hi, a_lo),  # y-min endpoint
+            jnp.where(sel, a_lo, a_hi),  # y-max endpoint
         )
 
-        ymax = round_half_away(maxv[:, 1])  # cpp:3988
-        ymin = jnp.maximum(F32(0.0), round_half_away(minv[:, 1]))  # cpp:3999
-        neg = minv[:, 1] < F32(0.0)
-        clipped_y = jnp.where(neg, -minv[:, 1], F32(0.0))
-        tt = jnp.where(neg, (-minv[:, 1]) / (maxv[:, 1] - minv[:, 1]), F32(0.0))
+    y_lo = proj[:, :, 1]
+    swap = y_lo > jnp.roll(y_lo, -1, axis=1)  # order endpoints by y, (T, 3)
+    minv, maxv = endpoints(proj)  # (T, 3, 3)
+    cam_mn, cam_mx = endpoints(cam)
+    col_mn, col_mx = endpoints(gcol)
+    n_mn, n_mx = endpoints(normals)
+    uv_mn, uv_mx = endpoints(uvs)
 
-        ydiff = ymax - ymin
-        xg = (maxv[:, 0] - minv[:, 0]) / (maxv[:, 1] - minv[:, 1])  # cpp:4073
-        zg = (cam_mx[:, 2] - cam_mn[:, 2]) / ydiff  # cpp:4072 (rounded diff)
-        x0 = minv[:, 0] + clipped_y * xg  # cpp:4075
-        z0 = cam_mn[:, 2] + clipped_y * zg  # cpp:4076
+    keep = (
+        visible[:, None]
+        & (maxv[..., 1] > F32(0.0))  # offscreen-top reject cpp:3968
+        & (minv[..., 1] - maxv[..., 1] != F32(0.0))  # horizontal cpp:4066
+    )  # (T, 3)
 
-        oz0 = F32(1.0) / minv[:, 2]  # cpp:4004 (inf when degenerate)
-        u0 = uv_mn[:, 0] / minv[:, 2]
-        v0 = uv_mn[:, 1] / minv[:, 2]
-        if cfg.textured:  # cpp:4078-4089
-            u1 = uv_mx[:, 0] * (F32(1.0) / maxv[:, 2])
-            v1 = uv_mx[:, 1] * (F32(1.0) / maxv[:, 2])
-            ug = (u1 - u0) / ydiff
-            vg = (v1 - v0) / ydiff
-            ozg = ((F32(1.0) / maxv[:, 2]) - oz0) / ydiff
-            u0 = u0 + clipped_y * ug
-            v0 = v0 + clipped_y * vg
-            oz0 = oz0 + clipped_y * ozg
-        else:
-            ug = vg = ozg = jnp.zeros_like(oz0)  # divergence #5
-
-        # Top-clip color lerp (cpp:4091); normals are NOT lerped (quirk).
-        col0 = (F32(1.0) - tt)[:, None] * col_mn + tt[:, None] * col_mx
-        colg = (col_mx - col0) / ydiff[:, None]
-        if cfg.phong:
-            n0, ng = n_mn, (n_mx - n_mn) / ydiff[:, None]
-        else:
-            n0 = ng = jnp.zeros_like(n_mn)
-
-        left = jnp.where(
-            ymin == round_half_away(proj[:, i0, 1]), F32(1.0), F32(0.0)
-        )  # cpp:4093
-
-        vals = dict(
-            valid=keep, ymin=ymin, ymax=ymax, x0=x0, xg=xg, z0=z0, zg=zg,
-            oz0=oz0, ozg=ozg, u0=u0, ug=ug, v0=v0, vg=vg, left=left,
-            col0=col0, colg=colg, n0=n0, ng=ng,
-        )
-        for name, val in vals.items():
-            if name == "valid":
-                fields[name].append(val)
-            else:
-                mask = keep.reshape(keep.shape + (1,) * (val.ndim - 1))
-                fields[name].append(jnp.where(mask, val, F32(0.0)))
-
-    return EdgeTable(
-        **{k: jnp.stack(v, axis=1) for k, v in fields.items()}
+    ymax = round_half_away(maxv[..., 1])  # cpp:3988
+    ymin = jnp.maximum(F32(0.0), round_half_away(minv[..., 1]))  # cpp:3999
+    neg = minv[..., 1] < F32(0.0)
+    clipped_y = jnp.where(neg, -minv[..., 1], F32(0.0))
+    tt = jnp.where(
+        neg, (-minv[..., 1]) / (maxv[..., 1] - minv[..., 1]), F32(0.0)
     )
+
+    ydiff = ymax - ymin
+    xg = (maxv[..., 0] - minv[..., 0]) / (maxv[..., 1] - minv[..., 1])  # cpp:4073
+    zg = (cam_mx[..., 2] - cam_mn[..., 2]) / ydiff  # cpp:4072 (rounded diff)
+    x0 = minv[..., 0] + clipped_y * xg  # cpp:4075
+    z0 = cam_mn[..., 2] + clipped_y * zg  # cpp:4076
+
+    oz0 = F32(1.0) / minv[..., 2]  # cpp:4004 (inf when degenerate)
+    u0 = uv_mn[..., 0] / minv[..., 2]
+    v0 = uv_mn[..., 1] / minv[..., 2]
+    if cfg.textured:  # cpp:4078-4089
+        u1 = uv_mx[..., 0] * (F32(1.0) / maxv[..., 2])
+        v1 = uv_mx[..., 1] * (F32(1.0) / maxv[..., 2])
+        ug = (u1 - u0) / ydiff
+        vg = (v1 - v0) / ydiff
+        ozg = ((F32(1.0) / maxv[..., 2]) - oz0) / ydiff
+        u0 = u0 + clipped_y * ug
+        v0 = v0 + clipped_y * vg
+        oz0 = oz0 + clipped_y * ozg
+    else:
+        ug = vg = ozg = jnp.zeros_like(oz0)  # divergence #5
+
+    # Top-clip color lerp (cpp:4091); normals are NOT lerped (quirk).
+    col0 = (F32(1.0) - tt)[..., None] * col_mn + tt[..., None] * col_mx
+    colg = (col_mx - col0) / ydiff[..., None]
+    if cfg.phong:
+        n0, ng = n_mn, (n_mx - n_mn) / ydiff[..., None]
+    else:
+        n0 = ng = jnp.zeros_like(n_mn)
+
+    left = jnp.where(
+        ymin == round_half_away(y_lo), F32(1.0), F32(0.0)
+    )  # cpp:4093
+
+    vals = dict(
+        valid=keep, ymin=ymin, ymax=ymax, x0=x0, xg=xg, z0=z0, zg=zg,
+        oz0=oz0, ozg=ozg, u0=u0, ug=ug, v0=v0, vg=vg, left=left,
+        col0=col0, colg=colg, n0=n0, ng=ng,
+    )
+    out = {}
+    for name, val in vals.items():
+        if name == "valid":
+            out[name] = val
+        else:
+            mask = keep.reshape(keep.shape + (1,) * (val.ndim - 2))
+            out[name] = jnp.where(mask, val, F32(0.0))
+    return EdgeTable(**out)

@@ -3,7 +3,7 @@ JAX forms, so tests/bench/graft-entry share one definition.
 
 Configs (BASELINE.json):
   1. Flat-shaded rotating cube, 512x512
-  2. Gouraud-shaded smooth mesh (teapot-class; procedural torus + sphere)
+  2. Gouraud-shaded OBJ mesh (Utah-teapot-class, via the Wavefront loader)
   3. Texture-mapped mesh, perspective-correct UVs
   4. Per-pixel Phong, multiple point lights, 1080p
   5. Multi-object animated scene for the TPU-mesh sharded path
@@ -65,8 +65,10 @@ def baseline_scene(config: int, height: int, width: int, angle: float = 0.3):
     if config == 1:  # flat cube
         mesh = rotate_y(construct_cube(), angle)
         scene = [(dict(p=(0.0, 0.0, 0.0), **mesh), {})]
-    elif config == 2:  # smooth Gouraud mesh
-        mesh = rotate_y(construct_torus(major_steps=48, minor_steps=24), angle)
+    elif config == 2:  # Gouraud-shaded OBJ mesh (teapot via the loader)
+        from .teapot import construct_teapot
+
+        mesh = rotate_y(construct_teapot(), angle)
         scene = [(dict(p=(0.0, 0.0, 0.0), **mesh), {})]
     elif config == 3:  # textured mesh
         mesh = rotate_y(construct_cube(), angle)

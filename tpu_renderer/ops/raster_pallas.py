@@ -1,6 +1,6 @@
 """Pallas tile rasterizer — the production (flagship) draw path.
 
-Visibility-buffer design, TPU-first (SURVEY.md §7):
+Fused visibility + attribute-resolve design, TPU-first (SURVEY.md §7):
 
 1. The frame is a static grid of VMEM-resident tiles (the Pallas grid), the
    TPU-native replacement for the reference's span/row work queue
@@ -8,15 +8,21 @@ Visibility-buffer design, TPU-first (SURVEY.md §7):
    z races, so the reference's per-8-pixel ZMask spinlock
    (projekt.cpp:1378-1409) becomes a plain in-register merge.
 2. Per tile, the kernel walks its binned triangle list in submission order,
-   vectorized CHUNK_T triangles at a time, evaluating only coverage + depth
-   per pixel — ~10 VPU ops per fragment on (tile_h, 128)-lane tiles, the
-   8-wide AVX fill loop (projekt.cpp:1028-1452) widened to the 8x128 VPU
-   shape. It merges (z, slot) with the reference's rules: strict greater
+   vectorized CHUNK_T triangles at a time, evaluating coverage, depth, AND
+   all interpolants per fragment on (tile_h, 128)-lane tiles — the 8-wide
+   AVX fill loop (projekt.cpp:1028-1452) widened to the 8x128 VPU shape. It
+   folds the full G-buffer with the reference's depth rules: strict greater
    wins, earlier submission keeps ties (projekt.cpp:495).
-3. Attribute interpolation + shading happen AFTER visibility, once per
-   pixel, as dense XLA gathers over the winning ids (ops.resolve) — the
-   per-fragment color/uv/normal work the CPU renderer did for losing
-   fragments is never done at all.
+3. Shading happens AFTER rasterization, once per pixel, as dense XLA math
+   over the G-buffer (ops.shading) — the per-fragment lighting the CPU
+   renderer did for losing fragments is never done at all.
+
+Round-1 used a two-stage design (z-only visibility kernel + a deferred XLA
+gather resolve); the per-pixel (H, W, 128)-lane record gather moved ~1 GB/
+frame through HBM at 1080p and dominated the frame (4.7 ms at 2k triangles,
+~60 ms at 250k). Fusing the attribute interpolation into the raster kernel
+removes that traffic entirely: records stream through VMEM once, and the
+G-buffer leaves the kernel already resolved.
 
 Two binning strategies feed the kernel (chosen by ``strategy=``, 'auto'
 picks by triangle count):
@@ -31,14 +37,16 @@ picks by triangle count):
   streams exactly each tile's contiguous range, double-buffered. No
   per-tile capacity, no O(T*tiles) scatter, O(T log T) total. Triangles
   spanning more tiles than the expansion go to a small side list rasterized
-  by a mask-strategy pass over all tiles, merged by (z, global id) — which
-  preserves the reference's submission-order depth ties exactly.
+  by a broadcast pass over all tiles (skipped entirely via lax.cond when
+  the list is empty), merged by (z, global id) — which preserves the
+  reference's submission-order depth ties exactly.
 
-The kernels consume a packed per-triangle "z-record": 3 edges x 8 scalars
-[valid, ymin, ymax, x0, xg, z0, zg, left] = 24 f32 lanes padded to 32.
-Coverage/z formulas are the closed forms of ops.spans, so results match the
-pure-JAX reference path exactly (modulo backend FMA rounding, golden
-divergence #8).
+The kernels consume ONE packed per-triangle record: 3 edges x 28 attribute
+scalars + the global triangle id, padded to a single 128-lane f32 row (so
+every indexed fetch is one contiguous row — TPU row-gathers cost per-row,
+not per-byte). Coverage/z/attribute formulas are the closed forms of
+ops.spans, so results match the pure-JAX reference path exactly (modulo
+backend FMA rounding, golden divergence #8).
 """
 
 from __future__ import annotations
@@ -54,7 +62,7 @@ from ..core.math import round_half_away
 from ..core.types import DEPTH_CLEAR
 from ..geometry.vertex import EdgeTable
 from .binning import QueueBins, TileBins, bin_triangles, bin_triangles_queue
-from .resolve import resolve_gbuffer
+from .raster_reference import GBUF_CHANNELS
 
 F32 = jnp.float32
 
@@ -62,18 +70,38 @@ TILE_H = 32
 TILE_W = 128
 CHUNK_T = 8  # triangles evaluated per vector step
 QUEUE_BLK = 64  # sorted-strategy: entries per pipelined record block
-REC_WIDTH = 32  # padded record lanes (24 used)
 _BIG = 3.4028235e38
 AUTO_SORTED_THRESHOLD = 512  # auto switches to sorted binning above this
 
+# Per-edge field layout inside the packed record (28 floats per edge).
+_F_VALID, _F_YMIN, _F_YMAX, _F_X0, _F_XG, _F_Z0, _F_ZG = range(7)
+_F_OZ0, _F_OZG, _F_U0, _F_UG, _F_V0, _F_VG, _F_LEFT = range(7, 14)
+_F_COL0 = 14  # 4 floats
+_F_COLG = 18  # 4 floats
+_F_N0 = 22  # 3 floats
+_F_NG = 25  # 3 floats
+EDGE_STRIDE = 28
+GID_LANE = 84  # 3 * EDGE_STRIDE; f32-exact up to 2**24 triangles/object
+REC_LANES = 128
 
-GID_LANE = 24  # record lane holding the global triangle id (exact in f32
-# up to 2**24 = 16.7M triangles per object)
+ATTR_CHANNELS = GBUF_CHANNELS - 1  # G-buffer minus the leading z channel
+
+# (j0, jg) record-field pairs for G-buffer channels 1..10, in channel order:
+# rgba color, normal xyz, u/z, v/z, 1/z (ops.raster_reference layout).
+_ATTR_FIELDS = tuple(
+    [(_F_COL0 + c, _F_COLG + c) for c in range(4)]
+    + [(_F_N0 + c, _F_NG + c) for c in range(3)]
+    + [(_F_U0, _F_UG), (_F_V0, _F_VG), (_F_OZ0, _F_OZG)]
+)
+
+# Mask-strategy guard: per-tile record blocks above this VMEM footprint (or
+# total materialization above the HBM cap) must use the sorted strategy.
+_MASK_BLOCK_VMEM_CAP = 4 * 1024 * 1024
+_MASK_TOTAL_HBM_CAP = 512 * 1024 * 1024
 
 
-def pack_z_records(edges: EdgeTable) -> jnp.ndarray:
-    """(T, 32) f32: per edge e, lanes [8e..8e+8) hold
-    [valid, ymin, ymax, x0, xg, z0, zg, left]; lane 24 is the triangle id.
+def pack_records(edges: EdgeTable) -> jnp.ndarray:
+    """(T, 128) f32 packed records: 3 edges x 28 fields + the triangle id.
 
     Embedding the id lets the kernels emit GLOBAL ids directly — a per-pixel
     slot->id gather afterwards costs ~10ms/frame at 1080p (TPU scalar
@@ -89,39 +117,52 @@ def pack_z_records(edges: EdgeTable) -> jnp.ndarray:
             edges.xg[:, e],
             edges.z0[:, e],
             edges.zg[:, e],
+            edges.oz0[:, e],
+            edges.ozg[:, e],
+            edges.u0[:, e],
+            edges.ug[:, e],
+            edges.v0[:, e],
+            edges.vg[:, e],
             edges.left[:, e],
         ]
+        cols += [edges.col0[:, e, c] for c in range(4)]
+        cols += [edges.colg[:, e, c] for c in range(4)]
+        cols += [edges.n0[:, e, c] for c in range(3)]
+        cols += [edges.ng[:, e, c] for c in range(3)]
     cols.append(jnp.arange(T, dtype=jnp.int32).astype(F32))  # GID_LANE
-    rec = jnp.stack(cols, axis=1)  # (T, 25)
-    return jnp.pad(rec, ((0, 0), (0, REC_WIDTH - rec.shape[1])))
+    rec = jnp.stack(cols, axis=1)  # (T, 85)
+    return jnp.pad(rec, ((0, 0), (0, REC_LANES - rec.shape[1])))
 
 
-def _chunk_update(rec, slot0, n_rel, yf, xc, w_f, z_ref, idx_ref):
-    """Merge CHUNK_T triangles' coverage+z into the tile refs.
+def _chunk_update(rec, n_rel, yf, xc, w_f, z_ref, gid_ref, attr_ref):
+    """Merge CHUNK_T triangles' full fragments (z + 10 attrs) into the tile.
 
-    rec: (CHUNK_T, REC_WIDTH) records; slot0 is unused for identity (ids
-    come from the records' GID lane); n_rel: scalar count of valid records
+    rec: (CHUNK_T, REC_LANES) records; n_rel: scalar count of valid records
     in this chunk (<= CHUNK_T) — entries at or past n_rel are masked (in
-    the sorted strategy they belong to the next tile's range). The emitted
-    idx values are GLOBAL triangle ids.
+    the sorted strategy they belong to the next tile's range). Emitted gid
+    values are GLOBAL triangle ids.
+
+    The interpolation forms are the closed forms of ops.spans (the exact
+    per-pixel values the reference's span walk produces,
+    projekt.cpp:306-539): attribute = left + (XOffset + (x - minx)) * inc.
     """
 
     def field(e, j):
-        return rec[:, e * 8 + j][:, None]  # (C, 1)
+        return rec[:, e * EDGE_STRIDE + j][:, None]  # (C, 1)
 
     # Per-edge row values as (C, R) — NOT (C, R, 1): a trailing size-1 lane
     # dim is padded to 128 lanes on TPU, making every cheap row op cost as
     # much as a full (C, R, W) fragment op (measured 32x).
-    act, xs, zs, xgs, lefts = [], [], [], [], []
+    act, xs, dys, xgs, lefts = [], [], [], [], []
     for e in range(3):
-        valid_e = field(e, 0) > F32(0.5)
-        ymin_e, ymax_e = field(e, 1), field(e, 2)
+        valid_e = field(e, _F_VALID) > F32(0.5)
+        ymin_e, ymax_e = field(e, _F_YMIN), field(e, _F_YMAX)
         dy = yf - ymin_e
         act.append(valid_e & (ymin_e <= yf) & (yf < ymax_e))
-        xs.append(field(e, 3) + dy * field(e, 4))
-        zs.append(field(e, 5) + dy * field(e, 6))
-        xgs.append(jnp.broadcast_to(field(e, 4), dy.shape))
-        lefts.append(jnp.broadcast_to(field(e, 7), dy.shape))
+        xs.append(field(e, _F_X0) + dy * field(e, _F_XG))
+        dys.append(dy)
+        xgs.append(jnp.broadcast_to(field(e, _F_XG), dy.shape))
+        lefts.append(jnp.broadcast_to(field(e, _F_LEFT), dy.shape))
 
     # AET ordering (projekt.cpp:212-216): lexicographic (x, xg, left, e).
     big = F32(_BIG)
@@ -157,8 +198,11 @@ def _chunk_update(rec, slot0, n_rel, yf, xc, w_f, z_ref, idx_ref):
             jnp.where(rank[1] == r, vals[1], vals[2]),
         )
 
+    def attr_lr(j0, jg):
+        vals = [field(e, j0) + dys[e] * field(e, jg) for e in range(3)]
+        return pick(vals, 0), pick(vals, 1)
+
     xl, xr = pick(xs, 0), pick(xs, 1)  # (C, R)
-    zl, zr = pick(zs, 0), pick(zs, 1)
     cidx = jax.lax.broadcasted_iota(jnp.int32, (CHUNK_T, 1), 0)
     nact = (
         act[0].astype(jnp.int32)
@@ -167,9 +211,9 @@ def _chunk_update(rec, slot0, n_rel, yf, xc, w_f, z_ref, idx_ref):
     )
     span_ok = (nact >= 2) & (cidx < n_rel)  # (C, R)
 
-    # Span setup + pixel coverage/z (projekt.cpp:306-529, closed form).
+    # Span setup + pixel coverage (projekt.cpp:306-529, closed form).
     xd = round_half_away(xr - xl)
-    zinc = jnp.where(xd != F32(0.0), (zr - zl) / xd, F32(0.0))
+    nz = xd != F32(0.0)
     xoff = jnp.where(xl < F32(0.0), -xl, F32(0.0))
     lx = jnp.where(
         xl < F32(0.0), F32(0.0),
@@ -191,21 +235,40 @@ def _chunk_update(rec, slot0, n_rel, yf, xc, w_f, z_ref, idx_ref):
         (m3(span_f) > F32(0.5)) & (xc >= m3(minx)) & (xc <= m3(maxx))
     )  # (C, R, W)
     k = m3(xoff) + (xc - m3(minx))
+
+    zl, zr = attr_lr(_F_Z0, _F_ZG)
+    zinc = jnp.where(nz, (zr - zl) / xd, F32(0.0))
     zfrag = m3(zl) + k * m3(zinc)  # (C, R, W)
+
+    frags = []
+    for j0, jg in _ATTR_FIELDS:
+        al, ar = attr_lr(j0, jg)
+        inc = jnp.where(nz, (ar - al) / xd, F32(0.0))
+        frags.append(m3(al) + k * m3(inc))  # (C, R, W)
 
     # Fold the chunk: earlier (smaller slot == smaller id) wins ties.
     gids = rec[:, GID_LANE][:, None, None].astype(jnp.int32)  # (C, 1, 1)
     best_z = jnp.full((TILE_H, TILE_W), DEPTH_CLEAR, F32)
     best_i = jnp.full((TILE_H, TILE_W), jnp.int32(-1))
+    best_a = [jnp.zeros((TILE_H, TILE_W), F32) for _ in range(ATTR_CHANNELS)]
     for c in range(CHUNK_T):
         zc = jnp.where(inspan[c], zfrag[c], DEPTH_CLEAR)
         win = zc > best_z
         best_z = jnp.where(win, zc, best_z)
         best_i = jnp.where(win, gids[c, 0, 0], best_i)
+        for i in range(ATTR_CHANNELS):
+            best_a[i] = jnp.where(win, frags[i][c], best_a[i])
 
     win = best_z > z_ref[:]
     z_ref[:] = jnp.where(win, best_z, z_ref[:])
-    idx_ref[:] = jnp.where(win, best_i, idx_ref[:])
+    gid_ref[:] = jnp.where(win, best_i, gid_ref[:])
+    attr_ref[:] = jnp.where(win[None], jnp.stack(best_a), attr_ref[:])
+
+
+def _init_tile(z_ref, gid_ref, attr_ref):
+    z_ref[:] = jnp.full((TILE_H, TILE_W), DEPTH_CLEAR, F32)
+    gid_ref[:] = jnp.full((TILE_H, TILE_W), -1, jnp.int32)
+    attr_ref[:] = jnp.zeros((ATTR_CHANNELS, TILE_H, TILE_W), F32)
 
 
 def _tile_coords(origin_ref):
@@ -222,20 +285,39 @@ def _tile_coords(origin_ref):
     return rows, cols
 
 
-def _visibility_kernel(count_ref, origin_ref, rec_ref, z_ref, idx_ref, *,
-                       frame_width, capacity):
-    """Mask-strategy kernel: per-tile padded record block (pipelined VMEM).
+def _out_specs_2d():
+    """Output BlockSpecs for a (ty, tx) grid: z, gid, attrs."""
+    return [
+        pl.BlockSpec(
+            (TILE_H, TILE_W), lambda ty, tx: (ty, tx),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (TILE_H, TILE_W), lambda ty, tx: (ty, tx),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (ATTR_CHANNELS, TILE_H, TILE_W), lambda ty, tx: (0, ty, tx),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
 
-    Outputs z and the winning *slot* into the tile's bin list (-1 = empty);
-    slots are in submission order, so the strict-greater merge reproduces
-    the reference's first-writer-wins tie rule.
-    """
+
+def _out_shapes(padded_h, padded_w):
+    return [
+        jax.ShapeDtypeStruct((padded_h, padded_w), F32),
+        jax.ShapeDtypeStruct((padded_h, padded_w), jnp.int32),
+        jax.ShapeDtypeStruct((ATTR_CHANNELS, padded_h, padded_w), F32),
+    ]
+
+
+def _raster_kernel_tilelist(count_ref, origin_ref, rec_ref, z_ref, gid_ref,
+                            attr_ref, *, frame_width):
+    """Mask-strategy kernel: per-tile padded record block (pipelined VMEM)."""
     ty = pl.program_id(0)
     tx = pl.program_id(1)
     yf, xc = _tile_coords(origin_ref)
-
-    z_ref[:] = jnp.full((TILE_H, TILE_W), DEPTH_CLEAR, F32)
-    idx_ref[:] = jnp.full((TILE_H, TILE_W), -1, jnp.int32)
+    _init_tile(z_ref, gid_ref, attr_ref)
 
     n = count_ref[ty * pl.num_programs(1) + tx]
     w_f = F32(frame_width)
@@ -243,35 +325,44 @@ def _visibility_kernel(count_ref, origin_ref, rec_ref, z_ref, idx_ref, *,
     def chunk_body(c, _):
         base = c * CHUNK_T
         rec = rec_ref[0, 0, pl.ds(base, CHUNK_T), :]
-        _chunk_update(rec, base, n - base, yf, xc, w_f, z_ref, idx_ref)
+        _chunk_update(rec, n - base, yf, xc, w_f, z_ref, gid_ref, attr_ref)
         return 0
 
     num_chunks = (n + CHUNK_T - 1) // CHUNK_T
     jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
 
 
-def visibility_pass(edges: EdgeTable, bins: TileBins, height: int,
-                    width: int, frame_width: int | None = None,
-                    row0=0, col0=0):
+def raster_pass(edges: EdgeTable, bins: TileBins, height: int, width: int,
+                frame_width: int | None = None, row0=0, col0=0):
     """Mask-strategy pass over the local tile grid.
 
-    Returns (z(H,W) f32, idx(H,W) i32 global triangle ids, -1 = empty).
+    Returns (z(H,W) f32, gid(H,W) i32 global ids (-1 = empty),
+    attrs(10,H,W) f32 G-buffer channels 1..10).
     """
     if frame_width is None:
         frame_width = width
     tiles_y, tiles_x, capacity = bins.ids.shape
     assert capacity % CHUNK_T == 0
 
-    recs = pack_z_records(edges)  # (T, 32)
+    block_bytes = capacity * REC_LANES * 4
+    total_bytes = tiles_y * tiles_x * block_bytes
+    if block_bytes > _MASK_BLOCK_VMEM_CAP or total_bytes > _MASK_TOTAL_HBM_CAP:
+        raise ValueError(
+            f"mask strategy would materialize {total_bytes / 2**20:.0f} MB "
+            f"of per-tile records ({block_bytes / 2**20:.1f} MB per tile "
+            "block); use strategy='sorted' for this triangle count"
+        )
+
+    recs = pack_records(edges)  # (T, 128)
     safe_ids = jnp.maximum(bins.ids, 0)
     tile_recs = recs[safe_ids.reshape(-1)].reshape(
-        tiles_y, tiles_x, capacity, REC_WIDTH
+        tiles_y, tiles_x, capacity, REC_LANES
     )
     # Empty slots: zeroed records (valid=0) can never cover a pixel.
     tile_recs = jnp.where((bins.ids >= 0)[..., None], tile_recs, F32(0.0))
 
     kernel = functools.partial(
-        _visibility_kernel, frame_width=frame_width, capacity=capacity
+        _raster_kernel_tilelist, frame_width=frame_width
     )
     padded_h = tiles_y * TILE_H
     padded_w = tiles_x * TILE_W
@@ -279,7 +370,7 @@ def visibility_pass(edges: EdgeTable, bins: TileBins, height: int,
     # Off-TPU (CPU test backend) the kernel runs in interpreter mode.
     interpret = jax.default_backend() != "tpu"
 
-    z, slot = pl.pallas_call(
+    z, gid, attrs = pl.pallas_call(
         kernel,
         interpret=interpret,
         grid=(tiles_y, tiles_x),
@@ -287,25 +378,13 @@ def visibility_pass(edges: EdgeTable, bins: TileBins, height: int,
             pl.BlockSpec(memory_space=pltpu.SMEM),  # counts, whole array
             pl.BlockSpec(memory_space=pltpu.SMEM),  # origin [row0, col0]
             pl.BlockSpec(
-                (1, 1, capacity, REC_WIDTH),
+                (1, 1, capacity, REC_LANES),
                 lambda ty, tx: (ty, tx, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=[
-            pl.BlockSpec(
-                (TILE_H, TILE_W), lambda ty, tx: (ty, tx),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (TILE_H, TILE_W), lambda ty, tx: (ty, tx),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((padded_h, padded_w), F32),
-            jax.ShapeDtypeStruct((padded_h, padded_w), jnp.int32),
-        ],
+        out_specs=_out_specs_2d(),
+        out_shape=_out_shapes(padded_h, padded_w),
     )(
         bins.counts.reshape(-1).astype(jnp.int32),
         jnp.stack(
@@ -314,12 +393,12 @@ def visibility_pass(edges: EdgeTable, bins: TileBins, height: int,
         tile_recs,
     )
 
-    return z[:height, :width], slot[:height, :width]  # slot IS global gid
+    return z[:height, :width], gid[:height, :width], attrs[:, :height, :width]
 
 
-def _visibility_kernel_queue(wi_tile, blk_start, item_start, counts, origin,
-                             rec_ref, z_ref, idx_ref, *, frame_width,
-                             tiles_x):
+def _raster_kernel_queue(wi_tile, blk_start, item_start, counts, origin,
+                         rec_ref, z_ref, gid_ref, attr_ref, *, frame_width,
+                         tiles_x):
     """Sorted/queue-strategy kernel: 1D grid over (tile, block) work items.
 
     One scalar-prefetched i32 per work item (its tile); block index, entry
@@ -337,8 +416,7 @@ def _visibility_kernel_queue(wi_tile, blk_start, item_start, counts, origin,
 
     @pl.when(ci == 0)
     def _():
-        z_ref[:] = jnp.full((TILE_H, TILE_W), DEPTH_CLEAR, F32)
-        idx_ref[:] = jnp.full((TILE_H, TILE_W), -1, jnp.int32)
+        _init_tile(z_ref, gid_ref, attr_ref)
 
     yf = (
         jax.lax.broadcasted_iota(jnp.int32, (1, TILE_H), 1)
@@ -353,8 +431,7 @@ def _visibility_kernel_queue(wi_tile, blk_start, item_start, counts, origin,
     def sub_body(sub, _):
         rec = rec_ref[0, pl.ds(sub * CHUNK_T, CHUNK_T), :]
         _chunk_update(
-            rec, base + sub * CHUNK_T, n - sub * CHUNK_T, yf, xc, w_f,
-            z_ref, idx_ref,
+            rec, n - sub * CHUNK_T, yf, xc, w_f, z_ref, gid_ref, attr_ref
         )
         return 0
 
@@ -364,31 +441,31 @@ def _visibility_kernel_queue(wi_tile, blk_start, item_start, counts, origin,
     jax.lax.fori_loop(0, sub_chunks, sub_body, 0)
 
 
-def _visibility_kernel_bcast(count_ref, origin_ref, rec_ref, z_ref, idx_ref,
-                             *, frame_width):
+def _raster_kernel_bcast(count_ref, origin_ref, rec_ref, z_ref, gid_ref,
+                         attr_ref, *, frame_width):
     """Broadcast-list kernel: every tile rasterizes the SAME short record
     list (the sorted strategy's large-triangle side pass). The single record
     block has a constant index, so the pipeline keeps it resident — no
     per-tile gather, no per-tile blocks."""
     yf, xc = _tile_coords(origin_ref)
-    z_ref[:] = jnp.full((TILE_H, TILE_W), DEPTH_CLEAR, F32)
-    idx_ref[:] = jnp.full((TILE_H, TILE_W), -1, jnp.int32)
+    _init_tile(z_ref, gid_ref, attr_ref)
     n = count_ref[0]
     w_f = F32(frame_width)
 
     def chunk_body(c, _):
         base = c * CHUNK_T
         rec = rec_ref[pl.ds(base, CHUNK_T), :]
-        _chunk_update(rec, base, n - base, yf, xc, w_f, z_ref, idx_ref)
+        _chunk_update(rec, n - base, yf, xc, w_f, z_ref, gid_ref, attr_ref)
         return 0
 
     jax.lax.fori_loop(0, (n + CHUNK_T - 1) // CHUNK_T, chunk_body, 0)
 
 
-def visibility_pass_broadcast(edges: EdgeTable, ids, count, height: int,
-                              width: int, frame_width: int | None = None,
-                              row0=0, col0=0):
-    """Rasterize one shared (short) id list over every tile."""
+def raster_pass_broadcast(recs, ids, count, height: int, width: int,
+                          frame_width: int | None = None, row0=0, col0=0):
+    """Rasterize one shared (short) id list over every tile.
+
+    recs: the (T, 128) packed records (reused from the main pass)."""
     if frame_width is None:
         frame_width = width
     tiles_y = -(-height // TILE_H)
@@ -396,17 +473,16 @@ def visibility_pass_broadcast(edges: EdgeTable, ids, count, height: int,
     cap = ids.shape[0]
     assert cap % CHUNK_T == 0
 
-    recs = pack_z_records(edges)
-    shared = jnp.where((ids >= 0)[:, None], recs[jnp.maximum(ids, 0)], F32(0.0))
-
-    kernel = functools.partial(
-        _visibility_kernel_bcast, frame_width=frame_width
+    shared = jnp.where(
+        (ids >= 0)[:, None], recs[jnp.maximum(ids, 0)], F32(0.0)
     )
+
+    kernel = functools.partial(_raster_kernel_bcast, frame_width=frame_width)
     padded_h = tiles_y * TILE_H
     padded_w = tiles_x * TILE_W
     interpret = jax.default_backend() != "tpu"
 
-    z, gid = pl.pallas_call(
+    z, gid, attrs = pl.pallas_call(
         kernel,
         interpret=interpret,
         grid=(tiles_y, tiles_x),
@@ -414,24 +490,12 @@ def visibility_pass_broadcast(edges: EdgeTable, ids, count, height: int,
             pl.BlockSpec(memory_space=pltpu.SMEM),  # count (1,)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # origin
             pl.BlockSpec(
-                (cap, REC_WIDTH), lambda ty, tx: (0, 0),
+                (cap, REC_LANES), lambda ty, tx: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=[
-            pl.BlockSpec(
-                (TILE_H, TILE_W), lambda ty, tx: (ty, tx),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (TILE_H, TILE_W), lambda ty, tx: (ty, tx),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((padded_h, padded_w), F32),
-            jax.ShapeDtypeStruct((padded_h, padded_w), jnp.int32),
-        ],
+        out_specs=_out_specs_2d(),
+        out_shape=_out_shapes(padded_h, padded_w),
     )(
         jnp.asarray(count, jnp.int32).reshape(1),
         jnp.stack(
@@ -439,19 +503,20 @@ def visibility_pass_broadcast(edges: EdgeTable, ids, count, height: int,
         ),
         shared,
     )
-    return z[:height, :width], gid[:height, :width]
+    return z[:height, :width], gid[:height, :width], attrs[:, :height, :width]
 
 
-def visibility_pass_queue(edges: EdgeTable, qbins: QueueBins, height: int,
-                          width: int, frame_width: int | None = None,
-                          row0=0, col0=0):
+def raster_pass_queue(edges: EdgeTable, qbins: QueueBins, height: int,
+                      width: int, frame_width: int | None = None,
+                      row0=0, col0=0, recs=None):
     """Queue-strategy pass (work-item grid; no per-tile capacity)."""
     if frame_width is None:
         frame_width = width
     tiles_y = -(-height // TILE_H)
     tiles_x = -(-width // TILE_W)
 
-    recs = pack_z_records(edges)  # (T, 32)
+    if recs is None:
+        recs = pack_records(edges)  # (T, 128)
     # One id lookup + one row gather over the EB-sized prefix — row-gather
     # cost on TPU is per-row, so minimizing gathered rows matters more than
     # bytes (a 2M-row gather measured ~80 ms/frame).
@@ -460,7 +525,7 @@ def visibility_pass_queue(edges: EdgeTable, qbins: QueueBins, height: int,
         qbins.src_valid[:, None], recs[ids], F32(0.0)
     )
     n_blocks = rec_aligned.shape[0] // QUEUE_BLK
-    rec_aligned = rec_aligned.reshape(n_blocks, QUEUE_BLK, REC_WIDTH)
+    rec_aligned = rec_aligned.reshape(n_blocks, QUEUE_BLK, REC_LANES)
 
     maxw = qbins.wi_tile.shape[0]
     origin = jnp.stack(
@@ -468,7 +533,7 @@ def visibility_pass_queue(edges: EdgeTable, qbins: QueueBins, height: int,
     )
 
     kernel = functools.partial(
-        _visibility_kernel_queue, frame_width=frame_width, tiles_x=tiles_x
+        _raster_kernel_queue, frame_width=frame_width, tiles_x=tiles_x
     )
     # one dummy tile row absorbs padding work items
     padded_h = (tiles_y + 1) * TILE_H
@@ -486,32 +551,35 @@ def visibility_pass_queue(edges: EdgeTable, qbins: QueueBins, height: int,
         tile = wi_tile[g]
         return (tile // _tx, tile % _tx)
 
+    def attr_index(g, wi_tile, blk_start, item_start, counts, org,
+                   _tx=tiles_x):
+        tile = wi_tile[g]
+        return (0, tile // _tx, tile % _tx)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(maxw,),
         in_specs=[
-            pl.BlockSpec((1, QUEUE_BLK, REC_WIDTH), rec_index),
+            pl.BlockSpec((1, QUEUE_BLK, REC_LANES), rec_index),
         ],
         out_specs=[
             pl.BlockSpec((TILE_H, TILE_W), out_index),
             pl.BlockSpec((TILE_H, TILE_W), out_index),
+            pl.BlockSpec((ATTR_CHANNELS, TILE_H, TILE_W), attr_index),
         ],
     )
 
-    z, slot = pl.pallas_call(
+    z, gid, attrs = pl.pallas_call(
         kernel,
         interpret=interpret,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((padded_h, padded_w), F32),
-            jax.ShapeDtypeStruct((padded_h, padded_w), jnp.int32),
-        ],
+        out_shape=_out_shapes(padded_h, padded_w),
     )(
         qbins.wi_tile, qbins.blk_start, qbins.item_start, qbins.counts,
         origin, rec_aligned,
     )
 
-    return z[:height, :width], slot[:height, :width]  # slot IS global gid
+    return z[:height, :width], gid[:height, :width], attrs[:, :height, :width]
 
 
 def _merge_by_gid(z_a, gid_a, z_b, gid_b):
@@ -526,6 +594,22 @@ def _merge_by_gid(z_a, gid_a, z_b, gid_b):
     return (
         jnp.where(win_b, z_b, z_a),
         jnp.where(win_b, gid_b, gid_a),
+    )
+
+
+def _merge_gbuf_by_gid(a, b):
+    """(z, gid, attrs) triple merge with the submission-order tie rule."""
+    z_a, gid_a, attr_a = a
+    z_b, gid_b, attr_b = b
+    cov_b = gid_b >= 0
+    win_b = cov_b & (
+        (z_b > z_a)
+        | ((z_b == z_a) & ((gid_a < 0) | (gid_b < gid_a)))
+    )
+    return (
+        jnp.where(win_b, z_b, z_a),
+        jnp.where(win_b, gid_b, gid_a),
+        jnp.where(win_b[None], attr_b, attr_a),
     )
 
 
@@ -566,33 +650,42 @@ def rasterize_pallas(
             edges, height, width, TILE_H, TILE_W, capacity,
             frame_height, frame_width, row0, col0,
         )
-        z, idx = visibility_pass(
+        z, gid, attrs = raster_pass(
             edges, bins, height, width, frame_width, row0, col0
         )
         stats = {"bins_dropped": bins.n_dropped}
     elif strategy == "sorted":
+        recs = pack_records(edges)
         qbins = bin_triangles_queue(
             edges, height, width, TILE_H, TILE_W, QUEUE_BLK,
             frame_height=frame_height, frame_width=frame_width,
             row0=row0, col0=col0,
         )
-        z, idx = visibility_pass_queue(
-            edges, qbins, height, width, frame_width, row0, col0
+        z, gid, attrs = raster_pass_queue(
+            edges, qbins, height, width, frame_width, row0, col0, recs=recs
         )
+
         # Side pass for triangles too large for the expansion: every tile
         # sees the (short, fixed-capacity) large list via one shared,
-        # pipeline-resident record block.
-        z_l, idx_l = visibility_pass_broadcast(
-            edges, qbins.large_ids, qbins.n_large, height, width,
-            frame_width, row0, col0,
+        # pipeline-resident record block. Skipped at runtime when the list
+        # is empty (the common case — one branch of the cond executes).
+        def with_large(args):
+            z, gid, attrs = args
+            z_l, gid_l, attrs_l = raster_pass_broadcast(
+                recs, qbins.large_ids, qbins.n_large, height, width,
+                frame_width, row0, col0,
+            )
+            return _merge_gbuf_by_gid((z, gid, attrs), (z_l, gid_l, attrs_l))
+
+        z, gid, attrs = jax.lax.cond(
+            qbins.n_large > 0, with_large, lambda args: args, (z, gid, attrs)
         )
-        z, idx = _merge_by_gid(z, idx, z_l, idx_l)
         stats = {"bins_dropped": qbins.n_dropped}
     else:
         raise ValueError(f"unknown strategy: {strategy}")
 
-    covered, gbuf = resolve_gbuffer(
-        edges, z, idx, height, width, frame_width=frame_width,
-        row0=row0, col0=col0,
+    covered = gid >= 0
+    gbuf = jnp.concatenate(
+        [z[:, :, None], jnp.moveaxis(attrs, 0, -1)], axis=-1
     )
     return covered, gbuf, stats

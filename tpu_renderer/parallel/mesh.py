@@ -15,8 +15,16 @@ ICI:
   reference's depth rule (larger z wins, lowest global triangle id keeps
   ties = submission order). The all-gather rides ICI; payload is
   (z, idx, packed color) per pixel.
+- **Object parallelism** (axis 'obj'): whole models are sharded — the true
+  analog of the reference's per-model work queue (``DoModelRenderWork``,
+  projekt.cpp:3873-3878), except the reference ACCEPTED cross-model z races
+  there (its per-model path skips the ZMask lock); here the shard fold is
+  ordered and deterministic. Each device renders its contiguous slice of
+  the object list in submission order, then shards fold over an ICI
+  all-gather in shard order (earlier shard = earlier objects keep ties).
 
-Composed, a 3D mesh ('tr', 'ty', 'tx') gives geometry x tile parallelism.
+Composed, meshes like ('tr', 'ty', 'tx') or ('obj', 'ty', 'tx') give
+geometry/object x tile parallelism.
 """
 
 from __future__ import annotations
@@ -210,6 +218,138 @@ def render_scene_geometry_sharded(
     )
     # Zip/unzip because shard_map wants pytrees matching in_specs.
     return fn(objs, transform, lights)
+
+
+def render_scene_object_sharded(
+    scene: Sequence[Tuple[RenderObject, ObjectConfig]],
+    transform: ProjectiveTransform,
+    lights: LightData,
+    height: int,
+    width: int,
+    mesh: Mesh,
+    backend: str = "pallas",
+    clear_color: int = 0,
+) -> Framebuffer:
+    """Whole objects sharded over 'obj' (optionally x tiles over 'ty'/'tx').
+
+    The ``DoModelRenderWork`` analog (projekt.cpp:3873-3878): model-level
+    parallel granularity. All objects must share one ObjectConfig (the
+    reference's per-model work items likewise all ran the same draw path);
+    soups are padded to a common triangle count (degenerate all-zero
+    triangles are backface-culled) and stacked on a leading object axis
+    sharded P('obj').
+
+    Determinism: device s owns the contiguous object range
+    [s*K, (s+1)*K); within a device, objects merge in submission order with
+    the strict-greater z test, and the cross-shard fold runs in shard-index
+    order — so depth ties resolve to the earliest-submitted object exactly
+    as a single-device loop would (unlike the reference, which skipped the
+    ZMask lock on this path and accepted cross-model races).
+    """
+    n_obj = mesh.shape["obj"]
+    ny = mesh.shape.get("ty", 1)
+    nx = mesh.shape.get("tx", 1)
+    assert height % ny == 0 and width % nx == 0
+    lh, lw = height // ny, width // nx
+
+    cfgs = tuple(cfg for _, cfg in scene)
+    assert len(set(cfgs)) == 1, (
+        "'obj' sharding stacks objects on one axis; all objects must share "
+        "one ObjectConfig (group heterogeneous scenes by config)"
+    )
+    cfg = cfgs[0]
+    objs = [obj for obj, _ in scene]
+    textures = [o.texture for o in objs]
+    if cfg.textured:
+        assert all(t is not None for t in textures)
+        assert len({t.shape for t in textures}) == 1, (
+            "'obj' sharding requires a common texture shape"
+        )
+
+    # Pad every soup to the max triangle count, then pad the object count to
+    # a multiple of n_obj with fully degenerate (never-visible) objects.
+    max_t = max(o.num_triangles for o in objs)
+    padded = []
+    for o in objs:
+        pv = (max_t - o.num_triangles) * 3
+        padded.append(RenderObject(
+            p=o.p,
+            vertices=jnp.concatenate([o.vertices, jnp.zeros((pv, 3), F32)]),
+            colors=jnp.concatenate([o.colors, jnp.zeros((pv, 4), F32)]),
+            normals=jnp.concatenate([o.normals, jnp.zeros((pv, 3), F32)]),
+            uvs=jnp.concatenate([o.uvs, jnp.zeros((pv, 2), F32)]),
+            texture=o.texture,
+        ))
+    pad_o = (-len(padded)) % n_obj
+    for _ in range(pad_o):
+        z = padded[0]
+        padded.append(RenderObject(
+            p=jnp.zeros((3,), F32),
+            vertices=jnp.zeros_like(z.vertices),
+            colors=jnp.zeros_like(z.colors),
+            normals=jnp.zeros_like(z.normals),
+            uvs=jnp.zeros_like(z.uvs),
+            texture=z.texture,
+        ))
+    n_local = len(padded) // n_obj
+
+    stacked = RenderObject(
+        p=jnp.stack([o.p for o in padded]),
+        vertices=jnp.stack([o.vertices for o in padded]),
+        colors=jnp.stack([o.colors for o in padded]),
+        normals=jnp.stack([o.normals for o in padded]),
+        uvs=jnp.stack([o.uvs for o in padded]),
+        texture=(jnp.stack([o.texture for o in padded])
+                 if cfg.textured else None),
+    )
+    obj_spec = RenderObject(
+        p=P("obj"), vertices=P("obj"), colors=P("obj"), normals=P("obj"),
+        uvs=P("obj"), texture=P("obj") if cfg.textured else None,
+    )
+    have_tiles = ("ty" in mesh.shape) or ("tx" in mesh.shape)
+
+    def per_device(stacked, transform, lights):
+        row0 = (jax.lax.axis_index("ty") * lh) if ny > 1 else 0
+        col0 = (jax.lax.axis_index("tx") * lw) if nx > 1 else 0
+        color = jnp.full((lh, lw), jnp.uint32(clear_color))
+        depth = jnp.full((lh, lw), DEPTH_CLEAR, F32)
+        for i in range(n_local):
+            obj = RenderObject(
+                p=stacked.p[i],
+                vertices=stacked.vertices[i],
+                colors=stacked.colors[i],
+                normals=stacked.normals[i],
+                uvs=stacked.uvs[i],
+                texture=(stacked.texture[i] if cfg.textured else None),
+            )
+            fb = render_object(
+                Framebuffer(color=color, depth=depth), obj, transform,
+                lights, cfg, backend, frame_height=height,
+                frame_width=width, row0=row0, col0=col0,
+            )
+            color, depth = fb.color, fb.depth
+
+        # Fold shards in shard order over ICI: earlier shard = earlier
+        # objects keep depth ties (strict >).
+        z_all = jax.lax.all_gather(depth, "obj")  # (n_obj, lh, lw)
+        c_all = jax.lax.all_gather(color, "obj")
+        out_z = jnp.full_like(depth, DEPTH_CLEAR)
+        out_c = jnp.full((lh, lw), jnp.uint32(clear_color))
+        for s in range(n_obj):
+            win = z_all[s] > out_z
+            out_z = jnp.where(win, z_all[s], out_z)
+            out_c = jnp.where(win, c_all[s], out_c)
+        return Framebuffer(color=out_c, depth=out_z)
+
+    out_spec = P("ty", "tx") if have_tiles else P()
+    fn = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(obj_spec, P(), P()),
+        out_specs=Framebuffer(color=out_spec, depth=out_spec),
+        check_vma=False,
+    )
+    return fn(stacked, transform, lights)
 
 
 def gather_framebuffer(fb: Framebuffer, mesh: Mesh) -> Framebuffer:

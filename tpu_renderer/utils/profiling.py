@@ -62,6 +62,95 @@ class FrameTimer:
         }
 
 
+def stage_breakdown(obj, cfg, transform, lights, height: int, width: int,
+                    frames: int = 12, strategy: str = "auto") -> dict:
+    """Per-stage device time (ms/frame) for the Pallas pipeline.
+
+    Times CUMULATIVE pipeline prefixes — setup | +binning | +raster kernel |
+    +shade/pack — each inside one compiled lax.scan over ``frames`` chained,
+    rotation-varied frames with a single host fetch (the only trustworthy
+    timing method on tunneled TPU runtimes, see CLAUDE.md), and reports the
+    per-stage deltas. Single-object scenes only (profiling tool).
+    """
+    import jax.numpy as jnp
+
+    from ..core.math import pack_argb
+    from ..geometry.transform import rotate_object, rotation_y
+    from ..geometry.vertex import setup_triangles
+    from ..ops import raster_pallas as rp
+    from ..ops.binning import bin_triangles, bin_triangles_queue
+    from ..ops.shading import shade
+
+    T = obj.num_triangles
+    if strategy == "auto":
+        strategy = (
+            "sorted" if T > rp.AUTO_SORTED_THRESHOLD else "mask"
+        )
+    angles = jnp.linspace(0.0, 0.7, frames).astype(jnp.float32)
+
+    def timed(prefix_fn):
+        @jax.jit
+        def fn(obj, transform, lights, angles):
+            def body(carry, angle):
+                spun = rotate_object(
+                    obj, rotation_y(angle + carry * jnp.float32(1e-30))
+                )
+                return carry + prefix_fn(spun) * jnp.float32(1e-20), 0
+            return jax.lax.scan(body, jnp.float32(0.0), angles)
+
+        out = fn(obj, transform, lights, angles)
+        _ = float(out[0])  # compile + warm
+        t0 = time.perf_counter()
+        out = fn(obj, transform, lights, angles)
+        _ = float(out[0])
+        return (time.perf_counter() - t0) / frames * 1e3
+
+    def p_setup(o):
+        e = setup_triangles(o, transform, lights, cfg)
+        return jnp.sum(e.x0)
+
+    def p_bin(o):
+        e = setup_triangles(o, transform, lights, cfg)
+        if strategy == "mask":
+            b = bin_triangles(e, height, width, rp.TILE_H, rp.TILE_W,
+                              min(max(rp.CHUNK_T, T), 4096))
+            return jnp.sum(b.counts).astype(jnp.float32)
+        q = bin_triangles_queue(e, height, width, rp.TILE_H, rp.TILE_W,
+                                rp.QUEUE_BLK)
+        return jnp.sum(q.counts).astype(jnp.float32)
+
+    def p_raster(o):
+        e = setup_triangles(o, transform, lights, cfg)
+        covered, gbuf, _ = rp.rasterize_pallas(
+            e, height, width, strategy=strategy
+        )
+        return jnp.sum(jnp.where(covered, gbuf[:, :, 0], 0.0))
+
+    def p_shade(o):
+        e = setup_triangles(o, transform, lights, cfg)
+        covered, gbuf, _ = rp.rasterize_pallas(
+            e, height, width, strategy=strategy
+        )
+        rgba, covered = shade(covered, gbuf, transform, lights, cfg,
+                              obj.texture, 0, 0)
+        return (
+            jnp.sum(rgba) + (pack_argb(rgba)[0, 0] & 1).astype(jnp.float32)
+        )
+
+    cum = {name: timed(fn) for name, fn in [
+        ("setup", p_setup), ("binning", p_bin), ("raster", p_raster),
+        ("shade", p_shade),
+    ]}
+    return {
+        "strategy": strategy,
+        "setup_ms": cum["setup"],
+        "binning_ms": cum["binning"] - cum["setup"],
+        "raster_ms": cum["raster"] - cum["binning"],
+        "shade_ms": cum["shade"] - cum["raster"],
+        "total_ms": cum["shade"],
+    }
+
+
 @contextlib.contextmanager
 def trace(logdir: str):
     """Capture a device trace (view with TensorBoard's profile plugin)."""
