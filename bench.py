@@ -14,6 +14,8 @@ Modes (BASELINE.md protocol):
                budgets there: coverage flips, >1-ulp depth, color mismatch.
     --stages   per-stage device-time breakdown of config 4
                (utils.profiling.stage_breakdown).
+    --scale    triangle-count scaling sweep (dense Phong spheres at 1080p:
+               40k / 250k / 1M triangles), ms/frame + drops per point.
 
 The TPU timing method runs frames inside one compiled ``lax.scan`` with
 per-frame varying rotation and a chained carry, then ONE host fetch forces
@@ -50,7 +52,7 @@ CONFIG_NAMES = {
     4: "phong_multilight_1080p",
     5: "multi_object_1080p",
 }
-WARM_ITERS = 30
+WARM_ITERS = 60  # one host fetch costs ~34 ms through the tunnel; amortize
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      ".bench_cpu_baseline.json")
 
@@ -255,6 +257,67 @@ def run_parity():
     return out
 
 
+def run_scale():
+    """Dense-mesh scaling sweep (the north-star axis: multi-million
+    triangles at 1080p)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpu_renderer.core.types import (
+        ObjectConfig, make_framebuffer, make_object,
+    )
+    from tpu_renderer.engine.renderer import render_scene
+    from tpu_renderer.geometry.transform import rotate_object, rotation_y
+    from tpu_renderer.models import scenes
+    from tpu_renderer.models.primitives import construct_sphere_grid
+
+    height, width = 1080, 1920
+    _, tr_d, li_d = scenes.baseline_scene(4, height, width)
+    _, transform, lights = scenes.to_jax_scene([], tr_d, li_d)
+    for lat, lon in ((140, 143), (354, 354), (708, 707)):
+        mesh = construct_sphere_grid(lat, lon)
+        obj = jax.device_put(make_object((0.0, 0.0, 0.0), **mesh))
+        cfg = ObjectConfig(phong=True)
+        tris = obj.num_triangles
+        iters = max(10, min(40, 4_000_000 // tris))
+
+        @jax.jit
+        def frames(obj, transform, lights, angles):
+            def body(carry, angle):
+                spun = rotate_object(
+                    obj, rotation_y(angle + carry * jnp.float32(1e-30))
+                )
+                fb, stats = None, {}
+                fb = render_scene(
+                    make_framebuffer(height, width), [(spun, cfg)],
+                    transform, lights, backend="pallas", stats=stats,
+                )
+                check = jnp.sum(
+                    jnp.where(fb.depth > -3.0e38, fb.depth, 0.0)
+                ) + (fb.color[13, 17] & 255).astype(jnp.float32)
+                return (
+                    carry + check * jnp.float32(1e-20),
+                    stats["bins_dropped"],
+                )
+            return jax.lax.scan(body, jnp.float32(0.0), angles)
+
+        angles = jnp.linspace(0.0, 0.6, iters).astype(jnp.float32)
+        out = frames(obj, transform, lights, angles)
+        _ = float(out[0])
+        t0 = time.perf_counter()
+        out = frames(obj, transform, lights, angles)
+        _ = float(out[0])
+        ms = (time.perf_counter() - t0) / iters * 1e3
+        drops = int(np.asarray(out[1])[-1])
+        print(json.dumps({
+            "metric": "scale_1080p_phong", "triangles": tris,
+            "ms_per_frame": round(ms, 2),
+            "fps": round(1e3 / ms, 1), "bins_dropped": drops,
+        }))
+        sys.stdout.flush()
+
+
 def run_stages():
     from tpu_renderer.models import scenes
     from tpu_renderer.utils.profiling import stage_breakdown
@@ -272,6 +335,8 @@ def main():
     args = set(sys.argv[1:])
     if "--suite" in args:
         run_suite()
+    elif "--scale" in args:
+        run_scale()
     elif "--parity" in args:
         run_parity()
     elif "--stages" in args:

@@ -86,10 +86,10 @@ def render_object(
         covered, gbuf, transform, lights, cfg, obj.texture, row0, col0
     )
     packed = pack_argb(rgba)
-    win = covered & (gbuf[:, :, 0] > framebuffer.depth)
+    win = covered & (gbuf[0] > framebuffer.depth)
     return Framebuffer(
         color=jnp.where(win, packed, framebuffer.color),
-        depth=jnp.where(win, gbuf[:, :, 0], framebuffer.depth),
+        depth=jnp.where(win, gbuf[0], framebuffer.depth),
     )
 
 

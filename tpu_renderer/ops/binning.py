@@ -145,29 +145,37 @@ class QueueBins(NamedTuple):
     """Work-queue bins for large triangle counts (no per-tile capacity).
 
     Each triangle expands to <= ``expansion`` (tile, id) entries, stably
-    sorted by tile, then re-laid-out so every tile's entry list starts at a
-    block boundary of size ``blk``. The rasterizer becomes a 1D grid over
-    work items, one per (tile, block): scalar-prefetched arrays steer which
-    record block and which output tile each grid step touches (consecutive
-    items share a tile, so the output block stays resident in VMEM).
+    sorted by tile; the sorted entry order IS the record layout — tile
+    ranges are NOT block-aligned. The rasterizer is a 1D grid over work
+    items, one per (tile, record-block) the tile's entry range touches:
+    scalar-prefetched arrays steer which record block and which output tile
+    each grid step reads (consecutive items share a tile, so the output
+    block stays resident in VMEM), and the kernel masks the head/tail
+    entries of boundary blocks that belong to neighboring tiles.
 
-    The SMEM footprint is one i32 per work item (``wi_tile``) plus three
-    small per-tile arrays — everything else is derived in-kernel:
-    ci = g - item_start[tile], block = blk_start[tile] + ci,
-    base = ci * blk, n = counts[tile] - base. Tile index ``ntiles`` is the
-    dummy-tail sentinel absorbing padding work items.
+    Unaligned ranges keep the downstream record gather at ~#entries rows
+    (the earlier block-aligned relayout paid ``ntiles * blk`` extra gather
+    rows — ~33k rows of pure padding at 1080p — plus a binary-search
+    scatter; TPU row-gathers cost per-row, so that padding dominated small
+    scenes) and eliminate per-tile fragmentation drops entirely: the only
+    drop condition is total entries exceeding the static budget.
+
+    Derivations in-kernel for work item g:
+      tile = wi_tile[g]; s = starts[tile]; ci = g - item_start[tile]
+      block = s // blk + ci; base = block * blk
+      head = s - base (mask entries before the tile's range, first item
+      only); n = s + counts[tile] - base (tail bound). Tile index
+      ``ntiles`` is the dummy-tail sentinel absorbing padding work items.
 
     Triangles whose bbox covers more tiles than ``expansion`` go to the
-    fixed-capacity ``large_ids`` side list (rasterized by a mask-strategy
-    pass over every tile and merged by (z, global id)).
+    fixed-capacity ``large_ids`` side list (rasterized by a broadcast pass
+    over every tile and merged by (z, global id)).
     """
 
-    sorted_tri: jnp.ndarray  # (Etot,) i32 triangle id per sorted entry
-    src: jnp.ndarray  # (EB,) i32 sorted-entry index per aligned slot
-    src_valid: jnp.ndarray  # (EB,) bool aligned slot holds a real entry
-    blk_start: jnp.ndarray  # (ntiles + 1,) i32 first record block per tile
+    sorted_tri: jnp.ndarray  # (EB,) i32 triangle id per sorted entry
+    starts: jnp.ndarray  # (ntiles + 1,) i32 first entry per tile (clipped)
+    counts: jnp.ndarray  # (ntiles + 1,) i32 kept entries per tile (last 0)
     item_start: jnp.ndarray  # (ntiles + 1,) i32 first work item per tile
-    counts: jnp.ndarray  # (ntiles + 1,) i32 kept entries per tile
     wi_tile: jnp.ndarray  # (MAXW,) i32 work item -> tile (ntiles = dummy)
     large_ids: jnp.ndarray  # (Lcap,) i32, -1 padded
     n_large: jnp.ndarray  # () i32
@@ -189,12 +197,13 @@ def bin_triangles_queue(
     row0=0,
     col0=0,
 ) -> QueueBins:
-    """Scalable binning: expand + stable-sort + block-aligned relayout.
+    """Scalable binning: expand + stable-sort; no relayout.
 
-    O(T log T) instead of the mask strategy's O(T * tiles); the only scatter
-    is one elementwise relayout of ~1-2 entries per triangle. The static
-    entry budget is ``budget_factor * T + ntiles * blk`` — overflow beyond
-    it is dropped and counted (raise budget_factor if n_dropped > 0).
+    O(T log T) instead of the mask strategy's O(T * tiles). The static
+    entry budget is ``budget_factor * T`` (block-rounded) — entries beyond
+    it are dropped and counted (raise budget_factor if n_dropped > 0;
+    average tile coverage above ``budget_factor`` tiles/triangle is rare
+    below ~30 px triangles).
     """
     if frame_height is None:
         frame_height = height
@@ -240,53 +249,37 @@ def bin_triangles_queue(
     sorted_tile, sorted_tri = jax.lax.sort(
         (entry_tile, entry_tri), num_keys=1, is_stable=True
     )
-    starts = jnp.searchsorted(
+    starts_full = jnp.searchsorted(
         sorted_tile, jnp.arange(ntiles + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
-    n_t = starts[1:] - starts[:-1]  # (ntiles,) real entries per tile
+    total_real = starts_full[ntiles]
 
-    # Block-aligned relayout within a static entry budget.
-    entry_budget = budget_factor * max(T, blk) + ntiles * blk
-    entry_budget = -(-entry_budget // blk) * blk
-    nblk_full = jnp.maximum(-(-n_t // blk), 1)  # >=1 so every tile is visited
-    blk_start = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(nblk_full)[:-1].astype(jnp.int32)]
-    )
-    keep_t = jnp.clip(entry_budget - blk_start * blk, 0, n_t)
-    entry_drops = jnp.sum(n_t - keep_t)
-
-    # Gather-based relayout: for each aligned slot, find its tile via a
-    # vectorized binary search over the (small) per-tile block table, then
-    # its source entry. No scatter — TPU scatters of millions of elements
-    # are serialized and dominated the frame at large T.
-    a = jnp.arange(entry_budget, dtype=jnp.int32)
-    b = a // blk
-    t_of_a = (
-        jnp.searchsorted(blk_start, b, side="right").astype(jnp.int32) - 1
-    )
-    t_of_a = jnp.clip(t_of_a, 0, ntiles - 1)
-    off = a - blk_start[t_of_a] * blk
-    src = starts[t_of_a] + off
-    src_valid = (off >= 0) & (off < keep_t[t_of_a])
-    # src < entry_budget by construction (blk_start[t]*blk >= starts[t]),
-    # so a prefix of the sorted ids suffices — downstream record gathers
-    # then touch EB rows instead of T*expansion rows (4x+ less).
-    src = jnp.clip(src, 0, entry_budget - 1)
+    # Static entry budget: the sorted prefix [0, EB) is kept verbatim as
+    # the record layout; real entries past it (sentinel-tile entries sort
+    # last, so the prefix is exactly the first EB real entries) drop.
+    entry_budget = -(-(budget_factor * max(T, blk)) // blk) * blk
+    entry_budget = min(entry_budget, -(-(T * expansion) // blk) * blk)
+    starts = jnp.minimum(starts_full, entry_budget)  # (ntiles + 1,) clipped
+    keep_t = starts[1:] - starts[:-1]
+    entry_drops = jnp.maximum(total_real - entry_budget, 0)
     sorted_tri = jax.lax.slice(
         jnp.pad(sorted_tri, (0, max(0, entry_budget - sorted_tri.shape[0]))),
         (0,), (entry_budget,),
     )
 
-    # Work items: one per (tile, block), tiles in order, blocks in order.
-    nblk_kept = jnp.maximum(-(-keep_t // blk), 1)
-    cum_blk = jnp.cumsum(nblk_kept).astype(jnp.int32)  # inclusive
-    total_items = cum_blk[-1]
+    # Work items: one per record block a tile's (unaligned) entry range
+    # touches, >= 1 per tile so every output tile gets initialized.
+    b_lo = starts[:-1] // blk
+    b_hi = -(-starts[1:] // blk)
+    nwi = jnp.maximum(b_hi - b_lo, 1)
+    cum_wi = jnp.cumsum(nwi).astype(jnp.int32)  # inclusive
+    total_items = cum_wi[-1]
     item_start = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), cum_blk]
+        [jnp.zeros((1,), jnp.int32), cum_wi]
     )  # (ntiles + 1,); [ntiles] = total_items = first dummy item
     maxw = entry_budget // blk + ntiles
     g = jnp.arange(maxw, dtype=jnp.int32)
-    tile_of_g = jnp.searchsorted(cum_blk, g, side="right").astype(jnp.int32)
+    tile_of_g = jnp.searchsorted(cum_wi, g, side="right").astype(jnp.int32)
     wi_tile = jnp.where(g < total_items, tile_of_g, ntiles)
 
     # Large-triangle side list (compacted, submission order).
@@ -301,15 +294,11 @@ def bin_triangles_queue(
 
     return QueueBins(
         sorted_tri=sorted_tri,
-        src=src,
-        src_valid=src_valid,
-        blk_start=jnp.concatenate(
-            [blk_start, jnp.zeros((1,), jnp.int32)]
-        ),
-        item_start=item_start,
+        starts=starts,
         counts=jnp.concatenate([keep_t, jnp.zeros((1,), jnp.int32)]).astype(
             jnp.int32
         ),
+        item_start=item_start,
         wi_tile=wi_tile,
         large_ids=large_ids,
         n_large=jnp.minimum(n_large, large_capacity),

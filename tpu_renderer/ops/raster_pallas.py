@@ -31,11 +31,12 @@ picks by triangle count):
   delivered as pipelined VMEM blocks. Simple, zero-latency block delivery,
   but the mask matrix and its scatter scale O(T * tiles).
 - 'sorted' (large scenes): each triangle expands to <= 8 (tile, id) entries,
-  stably sorted by tile and re-laid-out block-aligned; the kernel becomes a
-  1D grid over (tile, block) work items whose record blocks are steered by
-  scalar-prefetched indices (PrefetchScalarGridSpec) — the Pallas pipeline
-  streams exactly each tile's contiguous range, double-buffered. No
-  per-tile capacity, no O(T*tiles) scatter, O(T log T) total. Triangles
+  stably sorted by tile; the sorted order IS the record stream (tile ranges
+  unaligned — boundary blocks mask neighbors' entries in-kernel), and the
+  kernel becomes a 1D grid over (tile, block) work items whose record
+  blocks are steered by scalar-prefetched indices (PrefetchScalarGridSpec)
+  — the Pallas pipeline streams each tile's contiguous range,
+  double-buffered. No per-tile capacity, no relayout, O(T log T) total. Triangles
   spanning more tiles than the expansion go to a small side list rasterized
   by a broadcast pass over all tiles (skipped entirely via lax.cond when
   the list is empty), merged by (z, global id) — which preserves the
@@ -134,13 +135,13 @@ def pack_records(edges: EdgeTable) -> jnp.ndarray:
     return jnp.pad(rec, ((0, 0), (0, REC_LANES - rec.shape[1])))
 
 
-def _chunk_update(rec, n_rel, yf, xc, w_f, z_ref, gid_ref, attr_ref):
+def _chunk_update(rec, lo_rel, n_rel, yf, xc, w_f, gid_ref, gbuf_ref):
     """Merge CHUNK_T triangles' full fragments (z + 10 attrs) into the tile.
 
-    rec: (CHUNK_T, REC_LANES) records; n_rel: scalar count of valid records
-    in this chunk (<= CHUNK_T) — entries at or past n_rel are masked (in
-    the sorted strategy they belong to the next tile's range). Emitted gid
-    values are GLOBAL triangle ids.
+    rec: (CHUNK_T, REC_LANES) records; entries with index < lo_rel or >=
+    n_rel are masked (in the sorted strategy, boundary blocks contain
+    entries belonging to neighboring tiles' ranges). Emitted gid values are
+    GLOBAL triangle ids.
 
     The interpolation forms are the closed forms of ops.spans (the exact
     per-pixel values the reference's span walk produces,
@@ -209,7 +210,7 @@ def _chunk_update(rec, n_rel, yf, xc, w_f, z_ref, gid_ref, attr_ref):
         + act[1].astype(jnp.int32)
         + act[2].astype(jnp.int32)
     )
-    span_ok = (nact >= 2) & (cidx < n_rel)  # (C, R)
+    span_ok = (nact >= 2) & (cidx >= lo_rel) & (cidx < n_rel)  # (C, R)
 
     # Span setup + pixel coverage (projekt.cpp:306-529, closed form).
     xd = round_half_away(xr - xl)
@@ -259,16 +260,19 @@ def _chunk_update(rec, n_rel, yf, xc, w_f, z_ref, gid_ref, attr_ref):
         for i in range(ATTR_CHANNELS):
             best_a[i] = jnp.where(win, frags[i][c], best_a[i])
 
-    win = best_z > z_ref[:]
-    z_ref[:] = jnp.where(win, best_z, z_ref[:])
+    win = best_z > gbuf_ref[0, :, :]
     gid_ref[:] = jnp.where(win, best_i, gid_ref[:])
-    attr_ref[:] = jnp.where(win[None], jnp.stack(best_a), attr_ref[:])
+    gbuf_ref[:] = jnp.where(
+        win[None], jnp.stack([best_z] + best_a), gbuf_ref[:]
+    )
 
 
-def _init_tile(z_ref, gid_ref, attr_ref):
-    z_ref[:] = jnp.full((TILE_H, TILE_W), DEPTH_CLEAR, F32)
+def _init_tile(gid_ref, gbuf_ref):
     gid_ref[:] = jnp.full((TILE_H, TILE_W), -1, jnp.int32)
-    attr_ref[:] = jnp.zeros((ATTR_CHANNELS, TILE_H, TILE_W), F32)
+    gbuf_ref[:] = jnp.concatenate([
+        jnp.full((1, TILE_H, TILE_W), DEPTH_CLEAR, F32),
+        jnp.zeros((ATTR_CHANNELS, TILE_H, TILE_W), F32),
+    ])
 
 
 def _tile_coords(origin_ref):
@@ -286,18 +290,14 @@ def _tile_coords(origin_ref):
 
 
 def _out_specs_2d():
-    """Output BlockSpecs for a (ty, tx) grid: z, gid, attrs."""
+    """Output BlockSpecs for a (ty, tx) grid: gid, gbuf (channel-first)."""
     return [
         pl.BlockSpec(
             (TILE_H, TILE_W), lambda ty, tx: (ty, tx),
             memory_space=pltpu.VMEM,
         ),
         pl.BlockSpec(
-            (TILE_H, TILE_W), lambda ty, tx: (ty, tx),
-            memory_space=pltpu.VMEM,
-        ),
-        pl.BlockSpec(
-            (ATTR_CHANNELS, TILE_H, TILE_W), lambda ty, tx: (0, ty, tx),
+            (GBUF_CHANNELS, TILE_H, TILE_W), lambda ty, tx: (0, ty, tx),
             memory_space=pltpu.VMEM,
         ),
     ]
@@ -305,19 +305,18 @@ def _out_specs_2d():
 
 def _out_shapes(padded_h, padded_w):
     return [
-        jax.ShapeDtypeStruct((padded_h, padded_w), F32),
         jax.ShapeDtypeStruct((padded_h, padded_w), jnp.int32),
-        jax.ShapeDtypeStruct((ATTR_CHANNELS, padded_h, padded_w), F32),
+        jax.ShapeDtypeStruct((GBUF_CHANNELS, padded_h, padded_w), F32),
     ]
 
 
-def _raster_kernel_tilelist(count_ref, origin_ref, rec_ref, z_ref, gid_ref,
-                            attr_ref, *, frame_width):
+def _raster_kernel_tilelist(count_ref, origin_ref, rec_ref, gid_ref,
+                            gbuf_ref, *, frame_width):
     """Mask-strategy kernel: per-tile padded record block (pipelined VMEM)."""
     ty = pl.program_id(0)
     tx = pl.program_id(1)
     yf, xc = _tile_coords(origin_ref)
-    _init_tile(z_ref, gid_ref, attr_ref)
+    _init_tile(gid_ref, gbuf_ref)
 
     n = count_ref[ty * pl.num_programs(1) + tx]
     w_f = F32(frame_width)
@@ -325,7 +324,7 @@ def _raster_kernel_tilelist(count_ref, origin_ref, rec_ref, z_ref, gid_ref,
     def chunk_body(c, _):
         base = c * CHUNK_T
         rec = rec_ref[0, 0, pl.ds(base, CHUNK_T), :]
-        _chunk_update(rec, n - base, yf, xc, w_f, z_ref, gid_ref, attr_ref)
+        _chunk_update(rec, -base, n - base, yf, xc, w_f, gid_ref, gbuf_ref)
         return 0
 
     num_chunks = (n + CHUNK_T - 1) // CHUNK_T
@@ -336,8 +335,8 @@ def raster_pass(edges: EdgeTable, bins: TileBins, height: int, width: int,
                 frame_width: int | None = None, row0=0, col0=0):
     """Mask-strategy pass over the local tile grid.
 
-    Returns (z(H,W) f32, gid(H,W) i32 global ids (-1 = empty),
-    attrs(10,H,W) f32 G-buffer channels 1..10).
+    Returns (gid(H,W) i32 global ids (-1 = empty), gbuf(11,H,W) f32
+    channel-first G-buffer: z, rgba, normal, u/z, v/z, 1/z).
     """
     if frame_width is None:
         frame_width = width
@@ -370,7 +369,7 @@ def raster_pass(edges: EdgeTable, bins: TileBins, height: int, width: int,
     # Off-TPU (CPU test backend) the kernel runs in interpreter mode.
     interpret = jax.default_backend() != "tpu"
 
-    z, gid, attrs = pl.pallas_call(
+    gid, gbuf = pl.pallas_call(
         kernel,
         interpret=interpret,
         grid=(tiles_y, tiles_x),
@@ -393,30 +392,34 @@ def raster_pass(edges: EdgeTable, bins: TileBins, height: int, width: int,
         tile_recs,
     )
 
-    return z[:height, :width], gid[:height, :width], attrs[:, :height, :width]
+    return gid[:height, :width], gbuf[:, :height, :width]
 
 
-def _raster_kernel_queue(wi_tile, blk_start, item_start, counts, origin,
-                         rec_ref, z_ref, gid_ref, attr_ref, *, frame_width,
+def _raster_kernel_queue(wi_tile, starts, counts, item_start, origin,
+                         rec_ref, gid_ref, gbuf_ref, *, frame_width,
                          tiles_x):
     """Sorted/queue-strategy kernel: 1D grid over (tile, block) work items.
 
-    One scalar-prefetched i32 per work item (its tile); block index, entry
-    base, and remaining count derive from the small per-tile arrays. The
-    record BlockSpec fetches the work item's block; the output BlockSpecs
-    keep the tile resident across its consecutive items. The first item of
-    a tile initializes it."""
+    One scalar-prefetched i32 per work item (its tile); block index and
+    head/tail entry bounds derive from the small per-tile arrays. Tile
+    ranges are UNALIGNED in the record stream: the first/last blocks of a
+    tile may carry neighboring tiles' entries, masked via (lo_rel, n_rel).
+    The record BlockSpec fetches the work item's block; the output
+    BlockSpecs keep the tile resident across its consecutive items. The
+    first item of a tile initializes it."""
     g = pl.program_id(0)
     tile = wi_tile[g]
     ty = tile // tiles_x
     tx = tile - ty * tiles_x
     ci = g - item_start[tile]
-    base = ci * QUEUE_BLK
-    n = counts[tile] - base
+    s = starts[tile]
+    base = (s // QUEUE_BLK + ci) * QUEUE_BLK
+    head = s - base  # > 0 only on the tile's first item
+    n = (s + counts[tile]) - base
 
     @pl.when(ci == 0)
     def _():
-        _init_tile(z_ref, gid_ref, attr_ref)
+        _init_tile(gid_ref, gbuf_ref)
 
     yf = (
         jax.lax.broadcasted_iota(jnp.int32, (1, TILE_H), 1)
@@ -431,31 +434,34 @@ def _raster_kernel_queue(wi_tile, blk_start, item_start, counts, origin,
     def sub_body(sub, _):
         rec = rec_ref[0, pl.ds(sub * CHUNK_T, CHUNK_T), :]
         _chunk_update(
-            rec, n - sub * CHUNK_T, yf, xc, w_f, z_ref, gid_ref, attr_ref
+            rec, head - sub * CHUNK_T, n - sub * CHUNK_T, yf, xc, w_f,
+            gid_ref, gbuf_ref,
         )
         return 0
 
-    sub_chunks = jnp.clip(
+    sub_lo = jnp.clip(jnp.maximum(head, 0) // CHUNK_T, 0,
+                      QUEUE_BLK // CHUNK_T)
+    sub_hi = jnp.clip(
         (n + CHUNK_T - 1) // CHUNK_T, 0, QUEUE_BLK // CHUNK_T
     )
-    jax.lax.fori_loop(0, sub_chunks, sub_body, 0)
+    jax.lax.fori_loop(sub_lo, sub_hi, sub_body, 0)
 
 
-def _raster_kernel_bcast(count_ref, origin_ref, rec_ref, z_ref, gid_ref,
-                         attr_ref, *, frame_width):
+def _raster_kernel_bcast(count_ref, origin_ref, rec_ref, gid_ref,
+                         gbuf_ref, *, frame_width):
     """Broadcast-list kernel: every tile rasterizes the SAME short record
     list (the sorted strategy's large-triangle side pass). The single record
     block has a constant index, so the pipeline keeps it resident — no
     per-tile gather, no per-tile blocks."""
     yf, xc = _tile_coords(origin_ref)
-    _init_tile(z_ref, gid_ref, attr_ref)
+    _init_tile(gid_ref, gbuf_ref)
     n = count_ref[0]
     w_f = F32(frame_width)
 
     def chunk_body(c, _):
         base = c * CHUNK_T
         rec = rec_ref[pl.ds(base, CHUNK_T), :]
-        _chunk_update(rec, n - base, yf, xc, w_f, z_ref, gid_ref, attr_ref)
+        _chunk_update(rec, -base, n - base, yf, xc, w_f, gid_ref, gbuf_ref)
         return 0
 
     jax.lax.fori_loop(0, (n + CHUNK_T - 1) // CHUNK_T, chunk_body, 0)
@@ -463,9 +469,9 @@ def _raster_kernel_bcast(count_ref, origin_ref, rec_ref, z_ref, gid_ref,
 
 def raster_pass_broadcast(recs, ids, count, height: int, width: int,
                           frame_width: int | None = None, row0=0, col0=0):
-    """Rasterize one shared (short) id list over every tile.
-
-    recs: the (T, 128) packed records (reused from the main pass)."""
+    """Rasterize one shared (short) id list over every tile ->
+    (gid(H,W), gbuf(11,H,W)). recs: the (T, 128) packed records (reused
+    from the main pass)."""
     if frame_width is None:
         frame_width = width
     tiles_y = -(-height // TILE_H)
@@ -482,7 +488,7 @@ def raster_pass_broadcast(recs, ids, count, height: int, width: int,
     padded_w = tiles_x * TILE_W
     interpret = jax.default_backend() != "tpu"
 
-    z, gid, attrs = pl.pallas_call(
+    gid, gbuf = pl.pallas_call(
         kernel,
         interpret=interpret,
         grid=(tiles_y, tiles_x),
@@ -503,7 +509,7 @@ def raster_pass_broadcast(recs, ids, count, height: int, width: int,
         ),
         shared,
     )
-    return z[:height, :width], gid[:height, :width], attrs[:, :height, :width]
+    return gid[:height, :width], gbuf[:, :height, :width]
 
 
 def raster_pass_queue(edges: EdgeTable, qbins: QueueBins, height: int,
@@ -517,15 +523,15 @@ def raster_pass_queue(edges: EdgeTable, qbins: QueueBins, height: int,
 
     if recs is None:
         recs = pack_records(edges)  # (T, 128)
-    # One id lookup + one row gather over the EB-sized prefix — row-gather
-    # cost on TPU is per-row, so minimizing gathered rows matters more than
-    # bytes (a 2M-row gather measured ~80 ms/frame).
-    ids = jnp.where(qbins.src_valid, qbins.sorted_tri[qbins.src], 0)
-    rec_aligned = jnp.where(
-        qbins.src_valid[:, None], recs[ids], F32(0.0)
-    )
-    n_blocks = rec_aligned.shape[0] // QUEUE_BLK
-    rec_aligned = rec_aligned.reshape(n_blocks, QUEUE_BLK, REC_LANES)
+    # ONE row gather over the sorted-entry prefix (EB ~ budget_factor * T
+    # rows) — row-gather cost on TPU is per-row, so minimizing gathered
+    # rows matters more than bytes (a 2M-row gather measured ~80 ms/frame;
+    # the earlier block-aligned relayout padded this with ntiles * blk
+    # extra rows). Entries past each tile's range are masked in-kernel, so
+    # no zeroing pass is needed.
+    rec_stream = recs[qbins.sorted_tri]
+    n_blocks = rec_stream.shape[0] // QUEUE_BLK
+    rec_stream = rec_stream.reshape(n_blocks, QUEUE_BLK, REC_LANES)
 
     maxw = qbins.wi_tile.shape[0]
     origin = jnp.stack(
@@ -540,18 +546,18 @@ def raster_pass_queue(edges: EdgeTable, qbins: QueueBins, height: int,
     padded_w = tiles_x * TILE_W
     interpret = jax.default_backend() != "tpu"
 
-    def rec_index(g, wi_tile, blk_start, item_start, counts, org,
+    def rec_index(g, wi_tile, starts, counts, item_start, org,
                   _nb=n_blocks):
         tile = wi_tile[g]
-        blk = blk_start[tile] + (g - item_start[tile])
+        blk = starts[tile] // QUEUE_BLK + (g - item_start[tile])
         return (jnp.clip(blk, 0, _nb - 1), 0, 0)
 
-    def out_index(g, wi_tile, blk_start, item_start, counts, org,
+    def out_index(g, wi_tile, starts, counts, item_start, org,
                   _tx=tiles_x):
         tile = wi_tile[g]
         return (tile // _tx, tile % _tx)
 
-    def attr_index(g, wi_tile, blk_start, item_start, counts, org,
+    def gbuf_index(g, wi_tile, starts, counts, item_start, org,
                    _tx=tiles_x):
         tile = wi_tile[g]
         return (0, tile // _tx, tile % _tx)
@@ -564,22 +570,21 @@ def raster_pass_queue(edges: EdgeTable, qbins: QueueBins, height: int,
         ],
         out_specs=[
             pl.BlockSpec((TILE_H, TILE_W), out_index),
-            pl.BlockSpec((TILE_H, TILE_W), out_index),
-            pl.BlockSpec((ATTR_CHANNELS, TILE_H, TILE_W), attr_index),
+            pl.BlockSpec((GBUF_CHANNELS, TILE_H, TILE_W), gbuf_index),
         ],
     )
 
-    z, gid, attrs = pl.pallas_call(
+    gid, gbuf = pl.pallas_call(
         kernel,
         interpret=interpret,
         grid_spec=grid_spec,
         out_shape=_out_shapes(padded_h, padded_w),
     )(
-        qbins.wi_tile, qbins.blk_start, qbins.item_start, qbins.counts,
-        origin, rec_aligned,
+        qbins.wi_tile, qbins.starts, qbins.counts, qbins.item_start,
+        origin, rec_stream,
     )
 
-    return z[:height, :width], gid[:height, :width], attrs[:, :height, :width]
+    return gid[:height, :width], gbuf[:, :height, :width]
 
 
 def _merge_by_gid(z_a, gid_a, z_b, gid_b):
@@ -598,18 +603,19 @@ def _merge_by_gid(z_a, gid_a, z_b, gid_b):
 
 
 def _merge_gbuf_by_gid(a, b):
-    """(z, gid, attrs) triple merge with the submission-order tie rule."""
-    z_a, gid_a, attr_a = a
-    z_b, gid_b, attr_b = b
+    """(gid, gbuf) pair merge with the submission-order tie rule (z is
+    G-buffer channel 0)."""
+    gid_a, gbuf_a = a
+    gid_b, gbuf_b = b
+    z_a, z_b = gbuf_a[0], gbuf_b[0]
     cov_b = gid_b >= 0
     win_b = cov_b & (
         (z_b > z_a)
         | ((z_b == z_a) & ((gid_a < 0) | (gid_b < gid_a)))
     )
     return (
-        jnp.where(win_b, z_b, z_a),
         jnp.where(win_b, gid_b, gid_a),
-        jnp.where(win_b[None], attr_b, attr_a),
+        jnp.where(win_b[None], gbuf_b, gbuf_a),
     )
 
 
@@ -624,8 +630,9 @@ def rasterize_pallas(
     col0=0,
     strategy: str = "auto",
 ):
-    """Full fast-path rasterization -> (covered, gbuf, stats), same G-buffer
-    API as ops.raster_reference.rasterize_reference.
+    """Full fast-path rasterization -> (covered, gbuf, stats), same
+    channel-first G-buffer API as ops.raster_reference.rasterize_reference:
+    gbuf is (11, H, W) [z, rgba, normal xyz, u/z, v/z, 1/z].
 
     strategy: 'mask' (small scenes), 'sorted' (scales to millions of
     triangles), or 'auto'. ``capacity`` only applies to the mask strategy;
@@ -650,7 +657,7 @@ def rasterize_pallas(
             edges, height, width, TILE_H, TILE_W, capacity,
             frame_height, frame_width, row0, col0,
         )
-        z, gid, attrs = raster_pass(
+        gid, gbuf = raster_pass(
             edges, bins, height, width, frame_width, row0, col0
         )
         stats = {"bins_dropped": bins.n_dropped}
@@ -661,7 +668,7 @@ def rasterize_pallas(
             frame_height=frame_height, frame_width=frame_width,
             row0=row0, col0=col0,
         )
-        z, gid, attrs = raster_pass_queue(
+        gid, gbuf = raster_pass_queue(
             edges, qbins, height, width, frame_width, row0, col0, recs=recs
         )
 
@@ -670,22 +677,17 @@ def rasterize_pallas(
         # pipeline-resident record block. Skipped at runtime when the list
         # is empty (the common case — one branch of the cond executes).
         def with_large(args):
-            z, gid, attrs = args
-            z_l, gid_l, attrs_l = raster_pass_broadcast(
+            side = raster_pass_broadcast(
                 recs, qbins.large_ids, qbins.n_large, height, width,
                 frame_width, row0, col0,
             )
-            return _merge_gbuf_by_gid((z, gid, attrs), (z_l, gid_l, attrs_l))
+            return _merge_gbuf_by_gid(args, side)
 
-        z, gid, attrs = jax.lax.cond(
-            qbins.n_large > 0, with_large, lambda args: args, (z, gid, attrs)
+        gid, gbuf = jax.lax.cond(
+            qbins.n_large > 0, with_large, lambda args: args, (gid, gbuf)
         )
         stats = {"bins_dropped": qbins.n_dropped}
     else:
         raise ValueError(f"unknown strategy: {strategy}")
 
-    covered = gid >= 0
-    gbuf = jnp.concatenate(
-        [z[:, :, None], jnp.moveaxis(attrs, 0, -1)], axis=-1
-    )
-    return covered, gbuf, stats
+    return gid >= 0, gbuf, stats

@@ -22,33 +22,35 @@ from .spans import SpanBlock, TriangleSlice, span_block
 
 F32 = jnp.float32
 
-# G-buffer channels: z, rgba, normal xyz, u/z, v/z, 1/z
+# G-buffer: CHANNEL-FIRST (11, H, W) — z, rgba, normal xyz, u/z, v/z, 1/z.
+# Channel-first keeps every per-channel op a contiguous (H, W) plane on the
+# TPU (the Pallas kernel writes this layout directly; channels-last forced
+# an 88 MB relayout per 1080p frame).
 GBUF_CHANNELS = 11
 
 
 def empty_gbuffer(height: int, width: int):
     covered = jnp.zeros((height, width), bool)
-    gbuf = jnp.zeros((height, width, GBUF_CHANNELS), F32)
-    gbuf = gbuf.at[:, :, 0].set(DEPTH_CLEAR)
+    gbuf = jnp.zeros((GBUF_CHANNELS, height, width), F32)
+    gbuf = gbuf.at[0].set(DEPTH_CLEAR)
     return covered, gbuf
 
 
 def merge_fragments(covered, gbuf, frag: SpanBlock):
     """Depth-test a fragment block into the G-buffer (larger z wins, strict >
     so earlier writers keep ties)."""
-    win = frag.mask & (frag.z > gbuf[:, :, 0])
-    w1 = win[:, :, None]
-    gbuf = jnp.concatenate(
+    win = frag.mask & (frag.z > gbuf[0])
+    frag_cf = jnp.concatenate(
         [
-            jnp.where(win, frag.z, gbuf[:, :, 0])[:, :, None],
-            jnp.where(w1, frag.col, gbuf[:, :, 1:5]),
-            jnp.where(w1, frag.n, gbuf[:, :, 5:8]),
-            jnp.where(win, frag.u, gbuf[:, :, 8])[:, :, None],
-            jnp.where(win, frag.v, gbuf[:, :, 9])[:, :, None],
-            jnp.where(win, frag.oz, gbuf[:, :, 10])[:, :, None],
-        ],
-        axis=-1,
+            frag.z[None],
+            jnp.moveaxis(frag.col, -1, 0),
+            jnp.moveaxis(frag.n, -1, 0),
+            frag.u[None],
+            frag.v[None],
+            frag.oz[None],
+        ]
     )
+    gbuf = jnp.where(win[None], frag_cf, gbuf)
     return covered | win, gbuf
 
 

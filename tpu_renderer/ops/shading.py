@@ -101,7 +101,8 @@ def phong_shade(pos, nrm, base, lights: LightData):
 
 def shade(covered, gbuf, transform: ProjectiveTransform, lights: LightData,
           cfg: ObjectConfig, texture=None, row0=0, col0=0):
-    """Shade a G-buffer; returns (rgba(H,W,4), covered).
+    """Shade a channel-first (11, H, W) G-buffer; returns
+    (rgba(H,W,4), covered).
 
     Mirrors golden.cpu_reference.shade: texture replaces the interpolated
     color (so Gouraud+texture = unlit texture, the reference quirk at
@@ -110,12 +111,12 @@ def shade(covered, gbuf, transform: ProjectiveTransform, lights: LightData,
     (Phong unprojection needs global pixel coordinates).
     """
     height, width = covered.shape
-    col = gbuf[:, :, 1:5]
+    col = jnp.moveaxis(gbuf[1:5], 0, -1)  # (H, W, 4) for the vector math
     if cfg.textured:
         assert texture is not None
-        inv_oz = F32(1.0) / gbuf[:, :, 10]
-        u = jnp.where(covered, inv_oz * gbuf[:, :, 8], F32(0.0))
-        v = jnp.where(covered, inv_oz * gbuf[:, :, 9], F32(0.0))
+        inv_oz = F32(1.0) / gbuf[10]
+        u = jnp.where(covered, inv_oz * gbuf[8], F32(0.0))
+        v = jnp.where(covered, inv_oz * gbuf[9], F32(0.0))
         tex_rgba, tmask = sample_texture(
             texture, u, v, cfg.uv_mode, cfg.filter_mode
         )
@@ -134,7 +135,7 @@ def shade(covered, gbuf, transform: ProjectiveTransform, lights: LightData,
         (jnp.arange(height, dtype=F32) + jnp.asarray(row0, F32))[:, None],
         covered.shape,
     )
-    pos = unproject_vertices(px, py, gbuf[:, :, 0], transform)
-    nrm = normalize(gbuf[:, :, 5:8])  # divergence #3: single normalize
+    pos = unproject_vertices(px, py, gbuf[0], transform)
+    nrm = normalize(jnp.moveaxis(gbuf[5:8], 0, -1))  # div. #3: 1 normalize
     final = phong_shade(pos, nrm, col, lights)
     return jnp.where(covered[..., None], final, col), covered

@@ -190,7 +190,7 @@ def render_scene_geometry_sharded(
                 row0, col0,
             )
             packed = pack_argb(rgba)
-            z = jnp.where(covered, gbuf[:, :, 0], DEPTH_CLEAR)
+            z = jnp.where(covered, gbuf[0], DEPTH_CLEAR)
 
             # Combine shards over ICI: all-gather (z, color), fold in shard
             # order (earlier shard keeps depth ties).

@@ -63,7 +63,7 @@ class FrameTimer:
 
 
 def stage_breakdown(obj, cfg, transform, lights, height: int, width: int,
-                    frames: int = 12, strategy: str = "auto") -> dict:
+                    frames: int = 30, strategy: str = "auto") -> dict:
     """Per-stage device time (ms/frame) for the Pallas pipeline.
 
     Times CUMULATIVE pipeline prefixes — setup | +binning | +raster kernel |
@@ -71,6 +71,10 @@ def stage_breakdown(obj, cfg, transform, lights, height: int, width: int,
     rotation-varied frames with a single host fetch (the only trustworthy
     timing method on tunneled TPU runtimes, see CLAUDE.md), and reports the
     per-stage deltas. Single-object scenes only (profiling tool).
+
+    NOTE: the single synchronized fetch costs ~34 ms through the tunnel;
+    it amortizes over ``frames`` and cancels in the stage DELTAS, but the
+    first stage's absolute number carries ~34/frames ms of it.
     """
     import jax.numpy as jnp
 
@@ -124,7 +128,7 @@ def stage_breakdown(obj, cfg, transform, lights, height: int, width: int,
         covered, gbuf, _ = rp.rasterize_pallas(
             e, height, width, strategy=strategy
         )
-        return jnp.sum(jnp.where(covered, gbuf[:, :, 0], 0.0))
+        return jnp.sum(jnp.where(covered, gbuf[0], 0.0))
 
     def p_shade(o):
         e = setup_triangles(o, transform, lights, cfg)
