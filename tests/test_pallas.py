@@ -160,3 +160,58 @@ class TestQueueBinning:
         assert int(g[0, 1]) == 9
         # covered beats uncovered
         assert int(g[0, 2]) == 2
+
+
+def test_shade_planes_matches_shade():
+    """The channel-unrolled in-kernel shader (shade_planes + ARGB plane
+    pack) is bit-identical to the XLA shade()+pack_argb path on the same
+    backend, for both Gouraud and Phong."""
+    import jax.numpy as jnp
+    from tpu_renderer.core.math import pack_argb
+    from tpu_renderer.core.types import ObjectConfig, make_lights, make_transform
+    from tpu_renderer.ops.shading import pack_argb_planes, shade, shade_planes
+
+    rng = np.random.default_rng(7)
+    R, W_ = 16, 128
+    z = jnp.asarray(rng.uniform(-1, 1, (R, W_)), jnp.float32)
+    col = jnp.asarray(rng.uniform(0, 1, (11, R, W_)), jnp.float32)
+    gbuf = col.at[0].set(z)
+    nrmv = rng.normal(size=(R, W_, 3)).astype(np.float32)
+    gbuf = gbuf.at[5:8].set(jnp.moveaxis(jnp.asarray(nrmv), -1, 0))
+    covered = jnp.asarray(rng.uniform(0, 1, (R, W_)) > 0.3)
+    gbuf = jnp.where(covered[None], gbuf, 0.0).at[0].set(
+        jnp.where(covered, z, jnp.float32(-3.4028235e38))
+    )
+
+    transform = make_transform(3.0, 1.0, 300.0, (64.0, 8.0))
+    lights = make_lights(
+        (0.25, 0.25, 0.3, 1.0),
+        [(2.0, 2.0, 1.5), (-2.5, 1.0, 2.0)],
+        [(0.9, 0.85, 0.8, 1.0), (0.25, 0.3, 0.45, 1.0)],
+    )
+    px = jnp.broadcast_to(jnp.arange(W_, dtype=jnp.float32)[None], (R, W_))
+    py = jnp.broadcast_to(jnp.arange(R, dtype=jnp.float32)[:, None], (R, W_))
+    cam = (transform.distance_above_target, transform.focal_length,
+           transform.meters_to_pixels, transform.screen_center[0],
+           transform.screen_center[1])
+    ambient = tuple(lights.ambient[c] for c in range(4))
+    lp = [tuple(lights.light_p[k][i] for i in range(3)) for k in range(2)]
+    li = [tuple(lights.light_intensity[k][c] for c in range(4))
+          for k in range(2)]
+
+    for phong in (False, True):
+        cfg = ObjectConfig(phong=phong)
+        rgba_ref, cov_ref = shade(covered, gbuf, transform, lights, cfg)
+        packed_ref = np.asarray(pack_argb(rgba_ref))
+
+        colp = [gbuf[1 + c] for c in range(4)]
+        nrmp = [gbuf[5 + c] for c in range(3)]
+        rgba_p = shade_planes(gbuf[0], colp, nrmp, px, py, cam, ambient,
+                              lp, li, phong, 2)
+        if phong:
+            rgba_p = [jnp.where(covered, rgba_p[c], colp[c])
+                      for c in range(4)]
+        packed_p = np.asarray(
+            pack_argb_planes(rgba_p[0], rgba_p[1], rgba_p[2], rgba_p[3])
+        )
+        np.testing.assert_array_equal(packed_p, packed_ref)

@@ -64,6 +64,25 @@ def render_object(
     if frame_width is None:
         frame_width = width
     edges = setup_triangles(obj, transform, lights, cfg)
+    if backend == "pallas" and not cfg.textured:
+        # Fully-fused fast path: raster + interpolate + shade + pack in one
+        # Pallas kernel; the G-buffer never exists in HBM. Texture sampling
+        # stays deferred (the fetch is one big XLA gather).
+        from ..ops.raster_pallas import rasterize_pallas_shaded
+
+        covered, z, packed, rstats = rasterize_pallas_shaded(
+            edges, transform, lights, cfg.phong, height, width, capacity,
+            frame_height, frame_width, row0, col0,
+        )
+        if stats is not None:
+            stats["bins_dropped"] = (
+                stats.get("bins_dropped", 0) + rstats["bins_dropped"]
+            )
+        win = covered & (z > framebuffer.depth)
+        return Framebuffer(
+            color=jnp.where(win, packed, framebuffer.color),
+            depth=jnp.where(win, z, framebuffer.depth),
+        )
     if backend == "reference":
         covered, gbuf = rasterize_reference(
             edges, height, width, frame_width, row0, col0

@@ -191,7 +191,7 @@ def bin_triangles_queue(
     blk: int,
     expansion: int = 8,
     budget_factor: int = 2,
-    large_capacity: int = 256,
+    large_capacity: int = 2048,
     frame_height: int | None = None,
     frame_width: int | None = None,
     row0=0,

@@ -1,6 +1,7 @@
 """Pallas tile rasterizer — the production (flagship) draw path.
 
-Fused visibility + attribute-resolve design, TPU-first (SURVEY.md §7):
+Fused visibility + attribute-resolve (+ shading, untextured) design,
+TPU-first (SURVEY.md §7):
 
 1. The frame is a static grid of VMEM-resident tiles (the Pallas grid), the
    TPU-native replacement for the reference's span/row work queue
@@ -9,20 +10,27 @@ Fused visibility + attribute-resolve design, TPU-first (SURVEY.md §7):
    (projekt.cpp:1378-1409) becomes a plain in-register merge.
 2. Per tile, the kernel walks its binned triangle list in submission order,
    vectorized CHUNK_T triangles at a time, evaluating coverage, depth, AND
-   all interpolants per fragment on (tile_h, 128)-lane tiles — the 8-wide
-   AVX fill loop (projekt.cpp:1028-1452) widened to the 8x128 VPU shape. It
-   folds the full G-buffer with the reference's depth rules: strict greater
-   wins, earlier submission keeps ties (projekt.cpp:495).
-3. Shading happens AFTER rasterization, once per pixel, as dense XLA math
-   over the G-buffer (ops.shading) — the per-fragment lighting the CPU
-   renderer did for losing fragments is never done at all.
+   the config's interpolants per fragment on (tile_h, 128)-lane tiles — the
+   8-wide AVX fill loop (projekt.cpp:1028-1452) widened to the 8x128 VPU
+   shape. It folds fragments with the reference's depth rules: strict
+   greater wins, earlier submission keeps ties (projekt.cpp:495).
+3. Shading:
+   - UNTEXTURED objects (Gouraud or per-pixel Blinn-Phong) shade INSIDE the
+     kernel, once per pixel at tile finalize, and emit packed ARGB directly
+     — the G-buffer never round-trips HBM (that write+read was ~180 MB per
+     1080p frame). Formulas are ops.shading.shade_planes — the exact
+     channel-unrolled shade()/phong_shade() computation.
+   - TEXTURED objects emit the channel-first (11, H, W) G-buffer and shade
+     deferred in XLA (the texture fetch is one big XLA gather; per-lane
+     gathers inside a TPU kernel are pathological).
+   Both ways, the per-fragment lighting the CPU renderer did for LOSING
+   fragments is never done at all.
 
-Round-1 used a two-stage design (z-only visibility kernel + a deferred XLA
-gather resolve); the per-pixel (H, W, 128)-lane record gather moved ~1 GB/
-frame through HBM at 1080p and dominated the frame (4.7 ms at 2k triangles,
-~60 ms at 250k). Fusing the attribute interpolation into the raster kernel
-removes that traffic entirely: records stream through VMEM once, and the
-G-buffer leaves the kernel already resolved.
+The kernel is specialized per ObjectConfig at trace time: only the fields
+the config consumes are interpolated and folded (Gouraud: rgba; Phong:
+rgba + normal; the G-buffer path carries everything). Tile height is also
+static: 32 rows for small scenes, 8 rows for large ones (small triangles
+waste fragments on tall tiles; ``tile_h`` quarters that waste).
 
 Two binning strategies feed the kernel (chosen by ``strategy=``, 'auto'
 picks by triangle count):
@@ -36,18 +44,20 @@ picks by triangle count):
   kernel becomes a 1D grid over (tile, block) work items whose record
   blocks are steered by scalar-prefetched indices (PrefetchScalarGridSpec)
   — the Pallas pipeline streams each tile's contiguous range,
-  double-buffered. No per-tile capacity, no relayout, O(T log T) total. Triangles
-  spanning more tiles than the expansion go to a small side list rasterized
-  by a broadcast pass over all tiles (skipped entirely via lax.cond when
-  the list is empty), merged by (z, global id) — which preserves the
-  reference's submission-order depth ties exactly.
+  double-buffered. No per-tile capacity, no relayout, O(T log T) total.
+  Triangles spanning more tiles than the expansion go to a small side list
+  rasterized by a broadcast pass over all tiles (skipped entirely via
+  lax.cond when the list is empty), merged by (z, global id) — which
+  preserves the reference's submission-order depth ties exactly. Shading
+  commutes with that merge (a fragment's color depends only on its own
+  attributes), so the shaded variants merge packed colors by (z, gid).
 
 The kernels consume ONE packed per-triangle record: 3 edges x 28 attribute
 scalars + the global triangle id, padded to a single 128-lane f32 row (so
 every indexed fetch is one contiguous row — TPU row-gathers cost per-row,
-not per-byte). Coverage/z/attribute formulas are the closed forms of
-ops.spans, so results match the pure-JAX reference path exactly (modulo
-backend FMA rounding, golden divergence #8).
+not per-byte; measured ~9 ns/row). Coverage/z/attribute formulas are the
+closed forms of ops.spans, so results match the pure-JAX reference path
+exactly (modulo backend FMA rounding, golden divergence #8).
 """
 
 from __future__ import annotations
@@ -60,19 +70,25 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..core.math import round_half_away
-from ..core.types import DEPTH_CLEAR
+from ..core.types import DEPTH_CLEAR, LightData, ProjectiveTransform
 from ..geometry.vertex import EdgeTable
 from .binning import QueueBins, TileBins, bin_triangles, bin_triangles_queue
 from .raster_reference import GBUF_CHANNELS
+from .shading import pack_argb_planes, shade_planes
 
 F32 = jnp.float32
 
-TILE_H = 32
 TILE_W = 128
 CHUNK_T = 8  # triangles evaluated per vector step
 QUEUE_BLK = 64  # sorted-strategy: entries per pipelined record block
 _BIG = 3.4028235e38
 AUTO_SORTED_THRESHOLD = 512  # auto switches to sorted binning above this
+# Auto-switch to 8-row tiles above this triangle count: past ~8k triangles
+# (at 1080p) triangles are small enough that 32-row tiles waste 4x fragment
+# work, and large enough counts amortize the finer grid's per-step DMA
+# latency. Below it, mid-size triangles overflow the 8-entry tile expansion
+# into the broadcast side pass (measured 2.6 ms vs 22 ms at 2.2k tris).
+TILE8_THRESHOLD = 8192
 
 # Per-edge field layout inside the packed record (28 floats per edge).
 _F_VALID, _F_YMIN, _F_YMAX, _F_X0, _F_XG, _F_Z0, _F_ZG = range(7)
@@ -89,16 +105,19 @@ ATTR_CHANNELS = GBUF_CHANNELS - 1  # G-buffer minus the leading z channel
 
 # (j0, jg) record-field pairs for G-buffer channels 1..10, in channel order:
 # rgba color, normal xyz, u/z, v/z, 1/z (ops.raster_reference layout).
-_ATTR_FIELDS = tuple(
-    [(_F_COL0 + c, _F_COLG + c) for c in range(4)]
-    + [(_F_N0 + c, _F_NG + c) for c in range(3)]
-    + [(_F_U0, _F_UG), (_F_V0, _F_VG), (_F_OZ0, _F_OZG)]
-)
+_COL_FIELDS = tuple((_F_COL0 + c, _F_COLG + c) for c in range(4))
+_NRM_FIELDS = tuple((_F_N0 + c, _F_NG + c) for c in range(3))
+_UV_FIELDS = ((_F_U0, _F_UG), (_F_V0, _F_VG), (_F_OZ0, _F_OZG))
+_ATTR_FIELDS = _COL_FIELDS + _NRM_FIELDS + _UV_FIELDS
 
 # Mask-strategy guard: per-tile record blocks above this VMEM footprint (or
 # total materialization above the HBM cap) must use the sorted strategy.
 _MASK_BLOCK_VMEM_CAP = 4 * 1024 * 1024
 _MASK_TOTAL_HBM_CAP = 512 * 1024 * 1024
+
+
+def _pick_tile_h(num_triangles: int) -> int:
+    return 8 if num_triangles > TILE8_THRESHOLD else 32
 
 
 def pack_records(edges: EdgeTable) -> jnp.ndarray:
@@ -135,13 +154,30 @@ def pack_records(edges: EdgeTable) -> jnp.ndarray:
     return jnp.pad(rec, ((0, 0), (0, REC_LANES - rec.shape[1])))
 
 
-def _chunk_update(rec, lo_rel, n_rel, yf, xc, w_f, gid_ref, gbuf_ref):
-    """Merge CHUNK_T triangles' full fragments (z + 10 attrs) into the tile.
+def shade_params(transform: ProjectiveTransform, lights: LightData):
+    """Flat f32 scalar array for the in-kernel shader (SMEM):
+    [dat, fl, m2p, cx, cy, ambient*4, (light_p*3, light_I*4) per light]."""
+    parts = [
+        jnp.asarray(transform.distance_above_target, F32).reshape(1),
+        jnp.asarray(transform.focal_length, F32).reshape(1),
+        jnp.asarray(transform.meters_to_pixels, F32).reshape(1),
+        jnp.asarray(transform.screen_center, F32).reshape(2),
+        jnp.asarray(lights.ambient, F32).reshape(4),
+    ]
+    for k in range(lights.count):
+        parts.append(jnp.asarray(lights.light_p[k], F32).reshape(3))
+        parts.append(jnp.asarray(lights.light_intensity[k], F32).reshape(4))
+    return jnp.concatenate(parts)
+
+
+def _chunk_best(rec, lo_rel, n_rel, yf, xc, w_f, fields, tile_h, tile_w):
+    """Fold CHUNK_T triangles' fragments: coverage + z + the ``fields``
+    interpolants, best-per-pixel (earlier entry wins z ties).
 
     rec: (CHUNK_T, REC_LANES) records; entries with index < lo_rel or >=
     n_rel are masked (in the sorted strategy, boundary blocks contain
-    entries belonging to neighboring tiles' ranges). Emitted gid values are
-    GLOBAL triangle ids.
+    entries belonging to neighboring tiles' ranges). Returns
+    (best_z, best_gid, [best_plane per field]), each (tile_h, tile_w).
 
     The interpolation forms are the closed forms of ops.spans (the exact
     per-pixel values the reference's span walk produces,
@@ -242,24 +278,30 @@ def _chunk_update(rec, lo_rel, n_rel, yf, xc, w_f, gid_ref, gbuf_ref):
     zfrag = m3(zl) + k * m3(zinc)  # (C, R, W)
 
     frags = []
-    for j0, jg in _ATTR_FIELDS:
+    for j0, jg in fields:
         al, ar = attr_lr(j0, jg)
         inc = jnp.where(nz, (ar - al) / xd, F32(0.0))
         frags.append(m3(al) + k * m3(inc))  # (C, R, W)
 
     # Fold the chunk: earlier (smaller slot == smaller id) wins ties.
     gids = rec[:, GID_LANE][:, None, None].astype(jnp.int32)  # (C, 1, 1)
-    best_z = jnp.full((TILE_H, TILE_W), DEPTH_CLEAR, F32)
-    best_i = jnp.full((TILE_H, TILE_W), jnp.int32(-1))
-    best_a = [jnp.zeros((TILE_H, TILE_W), F32) for _ in range(ATTR_CHANNELS)]
+    best_z = jnp.full((tile_h, tile_w), DEPTH_CLEAR, F32)
+    best_i = jnp.full((tile_h, tile_w), jnp.int32(-1))
+    best_a = [jnp.zeros((tile_h, tile_w), F32) for _ in fields]
     for c in range(CHUNK_T):
         zc = jnp.where(inspan[c], zfrag[c], DEPTH_CLEAR)
         win = zc > best_z
         best_z = jnp.where(win, zc, best_z)
         best_i = jnp.where(win, gids[c, 0, 0], best_i)
-        for i in range(ATTR_CHANNELS):
+        for i in range(len(fields)):
             best_a[i] = jnp.where(win, frags[i][c], best_a[i])
+    return best_z, best_i, best_a
 
+
+def _merge_chunk_gbuf(best, gid_ref, gbuf_ref):
+    """Merge a chunk fold into (gid, 11-channel gbuf) refs; ``best`` carries
+    the full _ATTR_FIELDS plane list."""
+    best_z, best_i, best_a = best
     win = best_z > gbuf_ref[0, :, :]
     gid_ref[:] = jnp.where(win, best_i, gid_ref[:])
     gbuf_ref[:] = jnp.where(
@@ -267,43 +309,96 @@ def _chunk_update(rec, lo_rel, n_rel, yf, xc, w_f, gid_ref, gbuf_ref):
     )
 
 
-def _init_tile(gid_ref, gbuf_ref):
-    gid_ref[:] = jnp.full((TILE_H, TILE_W), -1, jnp.int32)
+def _merge_chunk_shaded(best, z_ref, gid_ref, scr_ref):
+    """Merge a chunk fold into (z, gid) refs + the attribute scratch."""
+    best_z, best_i, best_a = best
+    win = best_z > z_ref[:]
+    z_ref[:] = jnp.where(win, best_z, z_ref[:])
+    gid_ref[:] = jnp.where(win, best_i, gid_ref[:])
+    scr_ref[:] = jnp.where(win[None], jnp.stack(best_a), scr_ref[:])
+
+
+def _tile_coords_rw(origin, ty, tx, tile_h, tile_w):
+    """Global (1, R) row / (1, 1, W) col coordinate carriers for the chunk
+    math (leading broadcast dims keep row-level ops off the lane axis)."""
+    yf = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, tile_h), 1)
+        + (origin[0] + ty * tile_h)
+    ).astype(F32)
+    xc = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, 1, tile_w), 2)
+        + (origin[1] + tx * tile_w)
+    ).astype(F32)
+    return yf, xc
+
+
+def _pixel_coords(origin, ty, tx, tile_h, tile_w):
+    """Global (R, W) pixel coordinate planes (the in-kernel shader's px/py,
+    same integer values shade() builds from arange + origin)."""
+    py = (
+        jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
+        + (origin[0] + ty * tile_h)
+    ).astype(F32)
+    px = (
+        jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
+        + (origin[1] + tx * tile_w)
+    ).astype(F32)
+    return px, py
+
+
+def _finalize_shade(z, gid, planes, origin, ty, tx, params_ref, phong,
+                    n_lights, tile_h, tile_w):
+    """Tile finalize: shade the winning fragments (ops.shading.shade_planes
+    semantics) and pack ARGB. Uncovered pixels keep the zero base color,
+    exactly like shade()'s covered-select + pack in the XLA path."""
+    covered = gid >= 0
+    px, py = _pixel_coords(origin, ty, tx, tile_h, tile_w)
+    cam = tuple(params_ref[i] for i in range(5))
+    ambient = tuple(params_ref[5 + c] for c in range(4))
+    light_p = [
+        tuple(params_ref[9 + 7 * k + i] for i in range(3))
+        for k in range(n_lights)
+    ]
+    light_i = [
+        tuple(params_ref[9 + 7 * k + 3 + c] for c in range(4))
+        for k in range(n_lights)
+    ]
+    col = planes[:4]
+    nrm = planes[4:7] if phong else None
+    rgba = shade_planes(z, col, nrm, px, py, cam, ambient, light_p,
+                        light_i, phong, n_lights)
+    if phong:
+        rgba = [jnp.where(covered, rgba[c], col[c]) for c in range(4)]
+    return pack_argb_planes(rgba[0], rgba[1], rgba[2], rgba[3])
+
+
+# ---------------------------------------------------------------------------
+# G-buffer family (textured configs + the raw-G-buffer API)
+# ---------------------------------------------------------------------------
+
+
+def _init_gbuf_tile(gid_ref, gbuf_ref, tile_h, tile_w):
+    gid_ref[:] = jnp.full((tile_h, tile_w), -1, jnp.int32)
     gbuf_ref[:] = jnp.concatenate([
-        jnp.full((1, TILE_H, TILE_W), DEPTH_CLEAR, F32),
-        jnp.zeros((ATTR_CHANNELS, TILE_H, TILE_W), F32),
+        jnp.full((1, tile_h, tile_w), DEPTH_CLEAR, F32),
+        jnp.zeros((ATTR_CHANNELS, tile_h, tile_w), F32),
     ])
 
 
-def _tile_coords(origin_ref):
-    ty = pl.program_id(0)
-    tx = pl.program_id(1)
-    rows = (
-        jax.lax.broadcasted_iota(jnp.int32, (1, TILE_H), 1)
-        + (origin_ref[0] + ty * TILE_H)
-    ).astype(F32)  # (1, R)
-    cols = (
-        jax.lax.broadcasted_iota(jnp.int32, (1, 1, TILE_W), 2)
-        + (origin_ref[1] + tx * TILE_W)
-    ).astype(F32)  # (1, 1, W)
-    return rows, cols
-
-
-def _out_specs_2d():
-    """Output BlockSpecs for a (ty, tx) grid: gid, gbuf (channel-first)."""
+def _gbuf_out_specs_2d(tile_h, tile_w):
     return [
         pl.BlockSpec(
-            (TILE_H, TILE_W), lambda ty, tx: (ty, tx),
+            (tile_h, tile_w), lambda ty, tx: (ty, tx),
             memory_space=pltpu.VMEM,
         ),
         pl.BlockSpec(
-            (GBUF_CHANNELS, TILE_H, TILE_W), lambda ty, tx: (0, ty, tx),
+            (GBUF_CHANNELS, tile_h, tile_w), lambda ty, tx: (0, ty, tx),
             memory_space=pltpu.VMEM,
         ),
     ]
 
 
-def _out_shapes(padded_h, padded_w):
+def _gbuf_out_shapes(padded_h, padded_w):
     return [
         jax.ShapeDtypeStruct((padded_h, padded_w), jnp.int32),
         jax.ShapeDtypeStruct((GBUF_CHANNELS, padded_h, padded_w), F32),
@@ -311,12 +406,12 @@ def _out_shapes(padded_h, padded_w):
 
 
 def _raster_kernel_tilelist(count_ref, origin_ref, rec_ref, gid_ref,
-                            gbuf_ref, *, frame_width):
+                            gbuf_ref, *, frame_width, tile_h, tile_w):
     """Mask-strategy kernel: per-tile padded record block (pipelined VMEM)."""
     ty = pl.program_id(0)
     tx = pl.program_id(1)
-    yf, xc = _tile_coords(origin_ref)
-    _init_tile(gid_ref, gbuf_ref)
+    yf, xc = _tile_coords_rw(origin_ref, ty, tx, tile_h, tile_w)
+    _init_gbuf_tile(gid_ref, gbuf_ref, tile_h, tile_w)
 
     n = count_ref[ty * pl.num_programs(1) + tx]
     w_f = F32(frame_width)
@@ -324,25 +419,16 @@ def _raster_kernel_tilelist(count_ref, origin_ref, rec_ref, gid_ref,
     def chunk_body(c, _):
         base = c * CHUNK_T
         rec = rec_ref[0, 0, pl.ds(base, CHUNK_T), :]
-        _chunk_update(rec, -base, n - base, yf, xc, w_f, gid_ref, gbuf_ref)
+        best = _chunk_best(rec, -base, n - base, yf, xc, w_f,
+                           _ATTR_FIELDS, tile_h, tile_w)
+        _merge_chunk_gbuf(best, gid_ref, gbuf_ref)
         return 0
 
     num_chunks = (n + CHUNK_T - 1) // CHUNK_T
     jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
 
 
-def raster_pass(edges: EdgeTable, bins: TileBins, height: int, width: int,
-                frame_width: int | None = None, row0=0, col0=0):
-    """Mask-strategy pass over the local tile grid.
-
-    Returns (gid(H,W) i32 global ids (-1 = empty), gbuf(11,H,W) f32
-    channel-first G-buffer: z, rgba, normal, u/z, v/z, 1/z).
-    """
-    if frame_width is None:
-        frame_width = width
-    tiles_y, tiles_x, capacity = bins.ids.shape
-    assert capacity % CHUNK_T == 0
-
+def _mask_guard(capacity, tiles_y, tiles_x):
     block_bytes = capacity * REC_LANES * 4
     total_bytes = tiles_y * tiles_x * block_bytes
     if block_bytes > _MASK_BLOCK_VMEM_CAP or total_bytes > _MASK_TOTAL_HBM_CAP:
@@ -352,18 +438,38 @@ def raster_pass(edges: EdgeTable, bins: TileBins, height: int, width: int,
             "block); use strategy='sorted' for this triangle count"
         )
 
+
+def _tile_records(edges, bins):
     recs = pack_records(edges)  # (T, 128)
+    tiles_y, tiles_x, capacity = bins.ids.shape
     safe_ids = jnp.maximum(bins.ids, 0)
     tile_recs = recs[safe_ids.reshape(-1)].reshape(
         tiles_y, tiles_x, capacity, REC_LANES
     )
     # Empty slots: zeroed records (valid=0) can never cover a pixel.
-    tile_recs = jnp.where((bins.ids >= 0)[..., None], tile_recs, F32(0.0))
+    return jnp.where((bins.ids >= 0)[..., None], tile_recs, F32(0.0))
+
+
+def raster_pass(edges: EdgeTable, bins: TileBins, height: int, width: int,
+                frame_width: int | None = None, row0=0, col0=0,
+                tile_h: int = 32):
+    """Mask-strategy pass over the local tile grid.
+
+    Returns (gid(H,W) i32 global ids (-1 = empty), gbuf(11,H,W) f32
+    channel-first G-buffer: z, rgba, normal, u/z, v/z, 1/z).
+    """
+    if frame_width is None:
+        frame_width = width
+    tiles_y, tiles_x, capacity = bins.ids.shape
+    assert capacity % CHUNK_T == 0
+    _mask_guard(capacity, tiles_y, tiles_x)
+    tile_recs = _tile_records(edges, bins)
 
     kernel = functools.partial(
-        _raster_kernel_tilelist, frame_width=frame_width
+        _raster_kernel_tilelist, frame_width=frame_width, tile_h=tile_h,
+        tile_w=TILE_W,
     )
-    padded_h = tiles_y * TILE_H
+    padded_h = tiles_y * tile_h
     padded_w = tiles_x * TILE_W
 
     # Off-TPU (CPU test backend) the kernel runs in interpreter mode.
@@ -382,8 +488,8 @@ def raster_pass(edges: EdgeTable, bins: TileBins, height: int, width: int,
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=_out_specs_2d(),
-        out_shape=_out_shapes(padded_h, padded_w),
+        out_specs=_gbuf_out_specs_2d(tile_h, TILE_W),
+        out_shape=_gbuf_out_shapes(padded_h, padded_w),
     )(
         bins.counts.reshape(-1).astype(jnp.int32),
         jnp.stack(
@@ -397,7 +503,7 @@ def raster_pass(edges: EdgeTable, bins: TileBins, height: int, width: int,
 
 def _raster_kernel_queue(wi_tile, starts, counts, item_start, origin,
                          rec_ref, gid_ref, gbuf_ref, *, frame_width,
-                         tiles_x):
+                         tiles_x, tile_h, tile_w):
     """Sorted/queue-strategy kernel: 1D grid over (tile, block) work items.
 
     One scalar-prefetched i32 per work item (its tile); block index and
@@ -419,24 +525,18 @@ def _raster_kernel_queue(wi_tile, starts, counts, item_start, origin,
 
     @pl.when(ci == 0)
     def _():
-        _init_tile(gid_ref, gbuf_ref)
+        _init_gbuf_tile(gid_ref, gbuf_ref, tile_h, tile_w)
 
-    yf = (
-        jax.lax.broadcasted_iota(jnp.int32, (1, TILE_H), 1)
-        + (origin[0] + ty * TILE_H)
-    ).astype(F32)  # (1, R)
-    xc = (
-        jax.lax.broadcasted_iota(jnp.int32, (1, 1, TILE_W), 2)
-        + (origin[1] + tx * TILE_W)
-    ).astype(F32)  # (1, 1, W)
+    yf, xc = _tile_coords_rw(origin, ty, tx, tile_h, tile_w)
     w_f = F32(frame_width)
 
     def sub_body(sub, _):
         rec = rec_ref[0, pl.ds(sub * CHUNK_T, CHUNK_T), :]
-        _chunk_update(
+        best = _chunk_best(
             rec, head - sub * CHUNK_T, n - sub * CHUNK_T, yf, xc, w_f,
-            gid_ref, gbuf_ref,
+            _ATTR_FIELDS, tile_h, tile_w,
         )
+        _merge_chunk_gbuf(best, gid_ref, gbuf_ref)
         return 0
 
     sub_lo = jnp.clip(jnp.maximum(head, 0) // CHUNK_T, 0,
@@ -444,47 +544,144 @@ def _raster_kernel_queue(wi_tile, starts, counts, item_start, origin,
     sub_hi = jnp.clip(
         (n + CHUNK_T - 1) // CHUNK_T, 0, QUEUE_BLK // CHUNK_T
     )
+    # Tiles with no entries in this block (n == head, e.g. every EMPTY
+    # tile's single init item) must run zero chunks — the rounded-up hi
+    # bound would otherwise execute one fully-masked chunk per empty tile,
+    # which dominated small scenes on fine tile grids.
+    sub_hi = jnp.where(n > head, sub_hi, sub_lo)
     jax.lax.fori_loop(sub_lo, sub_hi, sub_body, 0)
 
 
+def _queue_stream(edges, qbins, recs):
+    """The sorted record stream: ONE row gather over the entry prefix
+    (~budget_factor * T rows at ~9 ns/row)."""
+    if recs is None:
+        recs = pack_records(edges)
+    rec_stream = recs[qbins.sorted_tri]
+    n_blocks = rec_stream.shape[0] // QUEUE_BLK
+    return rec_stream.reshape(n_blocks, QUEUE_BLK, REC_LANES), n_blocks
+
+
+def _queue_index_maps(tiles_x, n_blocks):
+    def rec_index(g, wi_tile, starts, counts, item_start, org,
+                  _nb=n_blocks):
+        tile = wi_tile[g]
+        blk = starts[tile] // QUEUE_BLK + (g - item_start[tile])
+        return (jnp.clip(blk, 0, _nb - 1), 0, 0)
+
+    def out_index(g, wi_tile, starts, counts, item_start, org,
+                  _tx=tiles_x):
+        tile = wi_tile[g]
+        return (tile // _tx, tile % _tx)
+
+    def out_index_cf(g, wi_tile, starts, counts, item_start, org,
+                     _tx=tiles_x):
+        tile = wi_tile[g]
+        return (0, tile // _tx, tile % _tx)
+
+    return rec_index, out_index, out_index_cf
+
+
+def raster_pass_queue(edges: EdgeTable, qbins: QueueBins, height: int,
+                      width: int, frame_width: int | None = None,
+                      row0=0, col0=0, recs=None, tile_h: int = 32):
+    """Queue-strategy pass (work-item grid; no per-tile capacity)."""
+    if frame_width is None:
+        frame_width = width
+    tiles_y = -(-height // tile_h)
+    tiles_x = -(-width // TILE_W)
+
+    rec_stream, n_blocks = _queue_stream(edges, qbins, recs)
+    maxw = qbins.wi_tile.shape[0]
+    origin = jnp.stack(
+        [jnp.asarray(row0, jnp.int32), jnp.asarray(col0, jnp.int32)]
+    )
+
+    kernel = functools.partial(
+        _raster_kernel_queue, frame_width=frame_width, tiles_x=tiles_x,
+        tile_h=tile_h, tile_w=TILE_W,
+    )
+    # one dummy tile row absorbs padding work items
+    padded_h = (tiles_y + 1) * tile_h
+    padded_w = tiles_x * TILE_W
+    interpret = jax.default_backend() != "tpu"
+
+    rec_index, out_index, out_index_cf = _queue_index_maps(tiles_x, n_blocks)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(maxw,),
+        in_specs=[
+            pl.BlockSpec((1, QUEUE_BLK, REC_LANES), rec_index),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_h, TILE_W), out_index),
+            pl.BlockSpec((GBUF_CHANNELS, tile_h, TILE_W), out_index_cf),
+        ],
+    )
+
+    gid, gbuf = pl.pallas_call(
+        kernel,
+        interpret=interpret,
+        grid_spec=grid_spec,
+        out_shape=_gbuf_out_shapes(padded_h, padded_w),
+    )(
+        qbins.wi_tile, qbins.starts, qbins.counts, qbins.item_start,
+        origin, rec_stream,
+    )
+
+    return gid[:height, :width], gbuf[:, :height, :width]
+
+
 def _raster_kernel_bcast(count_ref, origin_ref, rec_ref, gid_ref,
-                         gbuf_ref, *, frame_width):
+                         gbuf_ref, *, frame_width, tile_h, tile_w):
     """Broadcast-list kernel: every tile rasterizes the SAME short record
     list (the sorted strategy's large-triangle side pass). The single record
     block has a constant index, so the pipeline keeps it resident — no
     per-tile gather, no per-tile blocks."""
-    yf, xc = _tile_coords(origin_ref)
-    _init_tile(gid_ref, gbuf_ref)
+    ty = pl.program_id(0)
+    tx = pl.program_id(1)
+    yf, xc = _tile_coords_rw(origin_ref, ty, tx, tile_h, tile_w)
+    _init_gbuf_tile(gid_ref, gbuf_ref, tile_h, tile_w)
     n = count_ref[0]
     w_f = F32(frame_width)
 
     def chunk_body(c, _):
         base = c * CHUNK_T
         rec = rec_ref[pl.ds(base, CHUNK_T), :]
-        _chunk_update(rec, -base, n - base, yf, xc, w_f, gid_ref, gbuf_ref)
+        best = _chunk_best(rec, -base, n - base, yf, xc, w_f,
+                           _ATTR_FIELDS, tile_h, tile_w)
+        _merge_chunk_gbuf(best, gid_ref, gbuf_ref)
         return 0
 
     jax.lax.fori_loop(0, (n + CHUNK_T - 1) // CHUNK_T, chunk_body, 0)
 
 
+def _shared_records(recs, ids):
+    return jnp.where(
+        (ids >= 0)[:, None], recs[jnp.maximum(ids, 0)], F32(0.0)
+    )
+
+
 def raster_pass_broadcast(recs, ids, count, height: int, width: int,
-                          frame_width: int | None = None, row0=0, col0=0):
+                          frame_width: int | None = None, row0=0, col0=0,
+                          tile_h: int = 32):
     """Rasterize one shared (short) id list over every tile ->
     (gid(H,W), gbuf(11,H,W)). recs: the (T, 128) packed records (reused
     from the main pass)."""
     if frame_width is None:
         frame_width = width
-    tiles_y = -(-height // TILE_H)
+    tiles_y = -(-height // tile_h)
     tiles_x = -(-width // TILE_W)
     cap = ids.shape[0]
     assert cap % CHUNK_T == 0
+    shared = _shared_records(recs, ids)
 
-    shared = jnp.where(
-        (ids >= 0)[:, None], recs[jnp.maximum(ids, 0)], F32(0.0)
+    kernel = functools.partial(
+        _raster_kernel_bcast, frame_width=frame_width, tile_h=tile_h,
+        tile_w=TILE_W,
     )
-
-    kernel = functools.partial(_raster_kernel_bcast, frame_width=frame_width)
-    padded_h = tiles_y * TILE_H
+    padded_h = tiles_y * tile_h
     padded_w = tiles_x * TILE_W
     interpret = jax.default_backend() != "tpu"
 
@@ -500,8 +697,8 @@ def raster_pass_broadcast(recs, ids, count, height: int, width: int,
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=_out_specs_2d(),
-        out_shape=_out_shapes(padded_h, padded_w),
+        out_specs=_gbuf_out_specs_2d(tile_h, TILE_W),
+        out_shape=_gbuf_out_shapes(padded_h, padded_w),
     )(
         jnp.asarray(count, jnp.int32).reshape(1),
         jnp.stack(
@@ -512,79 +709,426 @@ def raster_pass_broadcast(recs, ids, count, height: int, width: int,
     return gid[:height, :width], gbuf[:, :height, :width]
 
 
-def raster_pass_queue(edges: EdgeTable, qbins: QueueBins, height: int,
-                      width: int, frame_width: int | None = None,
-                      row0=0, col0=0, recs=None):
-    """Queue-strategy pass (work-item grid; no per-tile capacity)."""
+# ---------------------------------------------------------------------------
+# Shaded family (untextured configs): kernels emit packed ARGB directly
+# ---------------------------------------------------------------------------
+
+
+def _shaded_out_shapes(padded_h, padded_w):
+    return [
+        jax.ShapeDtypeStruct((padded_h, padded_w), F32),        # z
+        jax.ShapeDtypeStruct((padded_h, padded_w), jnp.int32),   # gid
+        jax.ShapeDtypeStruct((padded_h, padded_w), jnp.uint32),  # color
+    ]
+
+
+def _shaded_out_specs_2d(tile_h, tile_w):
+    spec = pl.BlockSpec(
+        (tile_h, tile_w), lambda ty, tx: (ty, tx),
+        memory_space=pltpu.VMEM,
+    )
+    return [spec, spec, spec]
+
+
+def _init_shaded_tile(z_ref, gid_ref, scr_ref, n_fields, tile_h, tile_w):
+    z_ref[:] = jnp.full((tile_h, tile_w), DEPTH_CLEAR, F32)
+    gid_ref[:] = jnp.full((tile_h, tile_w), -1, jnp.int32)
+    scr_ref[:] = jnp.zeros((n_fields, tile_h, tile_w), F32)
+
+
+def _raster_kernel_tilelist_shaded(count_ref, origin_ref, params_ref,
+                                   rec_ref, z_ref, gid_ref, color_ref,
+                                   scr_ref, *, frame_width, fields, phong,
+                                   n_lights, tile_h, tile_w):
+    ty = pl.program_id(0)
+    tx = pl.program_id(1)
+    yf, xc = _tile_coords_rw(origin_ref, ty, tx, tile_h, tile_w)
+    _init_shaded_tile(z_ref, gid_ref, scr_ref, len(fields), tile_h, tile_w)
+
+    n = count_ref[ty * pl.num_programs(1) + tx]
+    w_f = F32(frame_width)
+
+    def chunk_body(c, _):
+        base = c * CHUNK_T
+        rec = rec_ref[0, 0, pl.ds(base, CHUNK_T), :]
+        best = _chunk_best(rec, -base, n - base, yf, xc, w_f, fields,
+                           tile_h, tile_w)
+        _merge_chunk_shaded(best, z_ref, gid_ref, scr_ref)
+        return 0
+
+    jax.lax.fori_loop(0, (n + CHUNK_T - 1) // CHUNK_T, chunk_body, 0)
+    planes = [scr_ref[i, :, :] for i in range(len(fields))]
+    color_ref[:] = _finalize_shade(
+        z_ref[:], gid_ref[:], planes, origin_ref, ty, tx, params_ref,
+        phong, n_lights, tile_h, tile_w,
+    )
+
+
+def _raster_kernel_queue_shaded(wi_tile, starts, counts, item_ext, origin,
+                                params, rec_ref, z_ref, gid_ref, color_ref,
+                                scr_ref, *, frame_width, fields, phong,
+                                n_lights, tiles_x, tile_h, tile_w):
+    """Shaded queue kernel. ``item_ext`` has ntiles+2 entries (last = maxw)
+    so the dummy tail tile's item count is well-defined; the attribute
+    scratch persists across a tile's consecutive work items (TPU grid steps
+    run sequentially on one core) and the tile's LAST item shades it."""
+    g = pl.program_id(0)
+    tile = wi_tile[g]
+    ty = tile // tiles_x
+    tx = tile - ty * tiles_x
+    ci = g - item_ext[tile]
+    s = starts[tile]
+    base = (s // QUEUE_BLK + ci) * QUEUE_BLK
+    head = s - base
+    n = (s + counts[tile]) - base
+
+    @pl.when(ci == 0)
+    def _():
+        _init_shaded_tile(z_ref, gid_ref, scr_ref, len(fields), tile_h,
+                          tile_w)
+
+    yf, xc = _tile_coords_rw(origin, ty, tx, tile_h, tile_w)
+    w_f = F32(frame_width)
+
+    def sub_body(sub, _):
+        rec = rec_ref[0, pl.ds(sub * CHUNK_T, CHUNK_T), :]
+        best = _chunk_best(
+            rec, head - sub * CHUNK_T, n - sub * CHUNK_T, yf, xc, w_f,
+            fields, tile_h, tile_w,
+        )
+        _merge_chunk_shaded(best, z_ref, gid_ref, scr_ref)
+        return 0
+
+    sub_lo = jnp.clip(jnp.maximum(head, 0) // CHUNK_T, 0,
+                      QUEUE_BLK // CHUNK_T)
+    sub_hi = jnp.clip(
+        (n + CHUNK_T - 1) // CHUNK_T, 0, QUEUE_BLK // CHUNK_T
+    )
+    # Tiles with no entries in this block (n == head, e.g. every EMPTY
+    # tile's single init item) must run zero chunks — the rounded-up hi
+    # bound would otherwise execute one fully-masked chunk per empty tile,
+    # which dominated small scenes on fine tile grids.
+    sub_hi = jnp.where(n > head, sub_hi, sub_lo)
+    jax.lax.fori_loop(sub_lo, sub_hi, sub_body, 0)
+
+    nwi = item_ext[tile + 1] - item_ext[tile]
+
+    @pl.when(ci == nwi - 1)
+    def _():
+        planes = [scr_ref[i, :, :] for i in range(len(fields))]
+        color_ref[:] = _finalize_shade(
+            z_ref[:], gid_ref[:], planes, origin, ty, tx, params,
+            phong, n_lights, tile_h, tile_w,
+        )
+
+
+def _raster_kernel_bcast_shaded(count_ref, origin_ref, params_ref, rec_ref,
+                                z_ref, gid_ref, color_ref, scr_ref, *,
+                                frame_width, fields, phong, n_lights,
+                                tile_h, tile_w):
+    ty = pl.program_id(0)
+    tx = pl.program_id(1)
+    yf, xc = _tile_coords_rw(origin_ref, ty, tx, tile_h, tile_w)
+    _init_shaded_tile(z_ref, gid_ref, scr_ref, len(fields), tile_h, tile_w)
+    n = count_ref[0]
+    w_f = F32(frame_width)
+
+    def chunk_body(c, _):
+        base = c * CHUNK_T
+        rec = rec_ref[pl.ds(base, CHUNK_T), :]
+        best = _chunk_best(rec, -base, n - base, yf, xc, w_f, fields,
+                           tile_h, tile_w)
+        _merge_chunk_shaded(best, z_ref, gid_ref, scr_ref)
+        return 0
+
+    jax.lax.fori_loop(0, (n + CHUNK_T - 1) // CHUNK_T, chunk_body, 0)
+    planes = [scr_ref[i, :, :] for i in range(len(fields))]
+    color_ref[:] = _finalize_shade(
+        z_ref[:], gid_ref[:], planes, origin_ref, ty, tx, params_ref,
+        phong, n_lights, tile_h, tile_w,
+    )
+
+
+def _merge_shaded_by_gid(a, b):
+    """(z, gid, color) merge with the submission-order tie rule. Shading
+    commutes with this merge: a fragment's color is a function of its own
+    attributes, so selecting shaded colors by (z, gid) equals shading the
+    (z, gid)-selected winner."""
+    z_a, gid_a, col_a = a
+    z_b, gid_b, col_b = b
+    cov_b = gid_b >= 0
+    win_b = cov_b & (
+        (z_b > z_a)
+        | ((z_b == z_a) & ((gid_a < 0) | (gid_b < gid_a)))
+    )
+    return (
+        jnp.where(win_b, z_b, z_a),
+        jnp.where(win_b, gid_b, gid_a),
+        jnp.where(win_b, col_b, col_a),
+    )
+
+
+def rasterize_pallas_shaded(
+    edges: EdgeTable,
+    transform: ProjectiveTransform,
+    lights: LightData,
+    phong: bool,
+    height: int,
+    width: int,
+    capacity: int | None = None,
+    frame_height: int | None = None,
+    frame_width: int | None = None,
+    row0=0,
+    col0=0,
+    strategy: str = "auto",
+    tile_h: int | None = None,
+):
+    """Fully-fused fast path for UNTEXTURED objects: raster + interpolate +
+    shade + ARGB pack in one kernel -> (covered, z(H,W), color_u32(H,W),
+    stats). The G-buffer never exists in HBM."""
+    T = edges.num_triangles
+    if frame_height is None:
+        frame_height = height
     if frame_width is None:
         frame_width = width
-    tiles_y = -(-height // TILE_H)
-    tiles_x = -(-width // TILE_W)
+    if strategy == "auto":
+        strategy = "sorted" if T > AUTO_SORTED_THRESHOLD else "mask"
+    if tile_h is None:
+        tile_h = _pick_tile_h(T)
 
-    if recs is None:
-        recs = pack_records(edges)  # (T, 128)
-    # ONE row gather over the sorted-entry prefix (EB ~ budget_factor * T
-    # rows) — row-gather cost on TPU is per-row, so minimizing gathered
-    # rows matters more than bytes (a 2M-row gather measured ~80 ms/frame;
-    # the earlier block-aligned relayout padded this with ntiles * blk
-    # extra rows). Entries past each tile's range are masked in-kernel, so
-    # no zeroing pass is needed.
-    rec_stream = recs[qbins.sorted_tri]
-    n_blocks = rec_stream.shape[0] // QUEUE_BLK
-    rec_stream = rec_stream.reshape(n_blocks, QUEUE_BLK, REC_LANES)
-
-    maxw = qbins.wi_tile.shape[0]
+    fields = _COL_FIELDS + (_NRM_FIELDS if phong else ())
+    n_lights = lights.count
+    params = shade_params(transform, lights)
     origin = jnp.stack(
         [jnp.asarray(row0, jnp.int32), jnp.asarray(col0, jnp.int32)]
     )
-
-    kernel = functools.partial(
-        _raster_kernel_queue, frame_width=frame_width, tiles_x=tiles_x
-    )
-    # one dummy tile row absorbs padding work items
-    padded_h = (tiles_y + 1) * TILE_H
-    padded_w = tiles_x * TILE_W
+    tiles_y = -(-height // tile_h)
+    tiles_x = -(-width // TILE_W)
     interpret = jax.default_backend() != "tpu"
+    scratch = [pltpu.VMEM((len(fields), tile_h, TILE_W), F32)]
 
-    def rec_index(g, wi_tile, starts, counts, item_start, org,
-                  _nb=n_blocks):
-        tile = wi_tile[g]
-        blk = starts[tile] // QUEUE_BLK + (g - item_start[tile])
-        return (jnp.clip(blk, 0, _nb - 1), 0, 0)
+    if strategy == "mask":
+        if capacity is None:
+            capacity = min(max(CHUNK_T, -(-T // CHUNK_T) * CHUNK_T), 4096)
+        _mask_guard(capacity, tiles_y, tiles_x)
+        bins = bin_triangles(
+            edges, height, width, tile_h, TILE_W, capacity,
+            frame_height, frame_width, row0, col0,
+        )
+        tile_recs = _tile_records(edges, bins)
+        kernel = functools.partial(
+            _raster_kernel_tilelist_shaded, frame_width=frame_width,
+            fields=fields, phong=phong, n_lights=n_lights, tile_h=tile_h,
+            tile_w=TILE_W,
+        )
+        z, gid, color = pl.pallas_call(
+            kernel,
+            interpret=interpret,
+            grid=(tiles_y, tiles_x),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # counts
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # origin
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # shade params
+                pl.BlockSpec(
+                    (1, 1, capacity, REC_LANES),
+                    lambda ty, tx: (ty, tx, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=_shaded_out_specs_2d(tile_h, TILE_W),
+            out_shape=_shaded_out_shapes(
+                tiles_y * tile_h, tiles_x * TILE_W
+            ),
+            scratch_shapes=scratch,
+        )(
+            bins.counts.reshape(-1).astype(jnp.int32), origin, params,
+            tile_recs,
+        )
+        z = z[:height, :width]
+        gid = gid[:height, :width]
+        color = color[:height, :width]
+        stats = {"bins_dropped": bins.n_dropped}
+    elif strategy == "sorted":
+        recs = pack_records(edges)
+        qbins = bin_triangles_queue(
+            edges, height, width, tile_h, TILE_W, QUEUE_BLK,
+            frame_height=frame_height, frame_width=frame_width,
+            row0=row0, col0=col0,
+        )
+        rec_stream, n_blocks = _queue_stream(edges, qbins, recs)
+        maxw = qbins.wi_tile.shape[0]
+        item_ext = jnp.concatenate(
+            [qbins.item_start, jnp.full((1,), maxw, jnp.int32)]
+        )
+        kernel = functools.partial(
+            _raster_kernel_queue_shaded, frame_width=frame_width,
+            fields=fields, phong=phong, n_lights=n_lights, tiles_x=tiles_x,
+            tile_h=tile_h, tile_w=TILE_W,
+        )
+        rec_index, out_index, _ = _queue_index_maps(tiles_x, n_blocks)
 
-    def out_index(g, wi_tile, starts, counts, item_start, org,
-                  _tx=tiles_x):
-        tile = wi_tile[g]
-        return (tile // _tx, tile % _tx)
+        def rec_index6(g, wi, st, cn, it, org, par, _f=rec_index):
+            return _f(g, wi, st, cn, it, org)
 
-    def gbuf_index(g, wi_tile, starts, counts, item_start, org,
-                   _tx=tiles_x):
-        tile = wi_tile[g]
-        return (0, tile // _tx, tile % _tx)
+        def out_index6(g, wi, st, cn, it, org, par, _f=out_index):
+            return _f(g, wi, st, cn, it, org)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
-        grid=(maxw,),
-        in_specs=[
-            pl.BlockSpec((1, QUEUE_BLK, REC_LANES), rec_index),
-        ],
-        out_specs=[
-            pl.BlockSpec((TILE_H, TILE_W), out_index),
-            pl.BlockSpec((GBUF_CHANNELS, TILE_H, TILE_W), gbuf_index),
-        ],
-    )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=6,
+            grid=(maxw,),
+            in_specs=[
+                pl.BlockSpec((1, QUEUE_BLK, REC_LANES), rec_index6),
+            ],
+            out_specs=[
+                pl.BlockSpec((tile_h, TILE_W), out_index6),
+                pl.BlockSpec((tile_h, TILE_W), out_index6),
+                pl.BlockSpec((tile_h, TILE_W), out_index6),
+            ],
+            scratch_shapes=scratch,
+        )
+        z, gid, color = pl.pallas_call(
+            kernel,
+            interpret=interpret,
+            grid_spec=grid_spec,
+            out_shape=_shaded_out_shapes(
+                (tiles_y + 1) * tile_h, tiles_x * TILE_W
+            ),
+        )(
+            qbins.wi_tile, qbins.starts, qbins.counts, item_ext, origin,
+            params, rec_stream,
+        )
+        z = z[:height, :width]
+        gid = gid[:height, :width]
+        color = color[:height, :width]
 
-    gid, gbuf = pl.pallas_call(
-        kernel,
-        interpret=interpret,
-        grid_spec=grid_spec,
-        out_shape=_out_shapes(padded_h, padded_w),
-    )(
-        qbins.wi_tile, qbins.starts, qbins.counts, qbins.item_start,
-        origin, rec_stream,
-    )
+        def with_large(args):
+            cap = qbins.large_ids.shape[0]
+            shared = _shared_records(recs, qbins.large_ids)
+            kernel_l = functools.partial(
+                _raster_kernel_bcast_shaded, frame_width=frame_width,
+                fields=fields, phong=phong, n_lights=n_lights,
+                tile_h=tile_h, tile_w=TILE_W,
+            )
+            z_l, gid_l, col_l = pl.pallas_call(
+                kernel_l,
+                interpret=interpret,
+                grid=(tiles_y, tiles_x),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(
+                        (cap, REC_LANES), lambda ty, tx: (0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ],
+                out_specs=_shaded_out_specs_2d(tile_h, TILE_W),
+                out_shape=_shaded_out_shapes(
+                    tiles_y * tile_h, tiles_x * TILE_W
+                ),
+                scratch_shapes=scratch,
+            )(
+                jnp.asarray(qbins.n_large, jnp.int32).reshape(1), origin,
+                params, shared,
+            )
+            return _merge_shaded_by_gid(
+                args,
+                (z_l[:height, :width], gid_l[:height, :width],
+                 col_l[:height, :width]),
+            )
 
-    return gid[:height, :width], gbuf[:, :height, :width]
+        z, gid, color = jax.lax.cond(
+            qbins.n_large > 0, with_large, lambda args: args,
+            (z, gid, color),
+        )
+        stats = {"bins_dropped": qbins.n_dropped}
+    else:
+        raise ValueError(f"unknown strategy: {strategy}")
+
+    return gid >= 0, z, color, stats
+
+
+# ---------------------------------------------------------------------------
+# G-buffer entry point (textured configs + the raw-G-buffer API)
+# ---------------------------------------------------------------------------
+
+
+def rasterize_pallas(
+    edges: EdgeTable,
+    height: int,
+    width: int,
+    capacity: int | None = None,
+    frame_height: int | None = None,
+    frame_width: int | None = None,
+    row0=0,
+    col0=0,
+    strategy: str = "auto",
+    tile_h: int | None = None,
+):
+    """Full fast-path rasterization -> (covered, gbuf, stats), same
+    channel-first G-buffer API as ops.raster_reference.rasterize_reference:
+    gbuf is (11, H, W) [z, rgba, normal xyz, u/z, v/z, 1/z].
+
+    strategy: 'mask' (small scenes), 'sorted' (scales to millions of
+    triangles), or 'auto'. ``capacity`` only applies to the mask strategy;
+    (row0, col0)/(frame_height, frame_width) support rendering a local
+    sub-rect of a larger frame (mesh sharding).
+    """
+    T = edges.num_triangles
+    if frame_height is None:
+        frame_height = height
+    if frame_width is None:
+        frame_width = width
+    if strategy == "auto":
+        strategy = "sorted" if T > AUTO_SORTED_THRESHOLD else "mask"
+    if tile_h is None:
+        tile_h = _pick_tile_h(T)
+
+    if strategy == "mask":
+        if capacity is None:
+            # Per-tile list capacity: all triangles for small scenes, else a
+            # cap that keeps the kernel's record block inside VMEM. Drops are
+            # counted in stats — raise `capacity` if nonzero.
+            capacity = min(max(CHUNK_T, -(-T // CHUNK_T) * CHUNK_T), 4096)
+        bins = bin_triangles(
+            edges, height, width, tile_h, TILE_W, capacity,
+            frame_height, frame_width, row0, col0,
+        )
+        gid, gbuf = raster_pass(
+            edges, bins, height, width, frame_width, row0, col0, tile_h
+        )
+        stats = {"bins_dropped": bins.n_dropped}
+    elif strategy == "sorted":
+        recs = pack_records(edges)
+        qbins = bin_triangles_queue(
+            edges, height, width, tile_h, TILE_W, QUEUE_BLK,
+            frame_height=frame_height, frame_width=frame_width,
+            row0=row0, col0=col0,
+        )
+        gid, gbuf = raster_pass_queue(
+            edges, qbins, height, width, frame_width, row0, col0,
+            recs=recs, tile_h=tile_h,
+        )
+
+        # Side pass for triangles too large for the expansion: every tile
+        # sees the (short, fixed-capacity) large list via one shared,
+        # pipeline-resident record block. Skipped at runtime when the list
+        # is empty (the common case — one branch of the cond executes).
+        def with_large(args):
+            side = raster_pass_broadcast(
+                recs, qbins.large_ids, qbins.n_large, height, width,
+                frame_width, row0, col0, tile_h,
+            )
+            return _merge_gbuf_by_gid(args, side)
+
+        gid, gbuf = jax.lax.cond(
+            qbins.n_large > 0, with_large, lambda args: args, (gid, gbuf)
+        )
+        stats = {"bins_dropped": qbins.n_dropped}
+    else:
+        raise ValueError(f"unknown strategy: {strategy}")
+
+    return gid >= 0, gbuf, stats
 
 
 def _merge_by_gid(z_a, gid_a, z_b, gid_b):
@@ -617,77 +1161,3 @@ def _merge_gbuf_by_gid(a, b):
         jnp.where(win_b, gid_b, gid_a),
         jnp.where(win_b[None], gbuf_b, gbuf_a),
     )
-
-
-def rasterize_pallas(
-    edges: EdgeTable,
-    height: int,
-    width: int,
-    capacity: int | None = None,
-    frame_height: int | None = None,
-    frame_width: int | None = None,
-    row0=0,
-    col0=0,
-    strategy: str = "auto",
-):
-    """Full fast-path rasterization -> (covered, gbuf, stats), same
-    channel-first G-buffer API as ops.raster_reference.rasterize_reference:
-    gbuf is (11, H, W) [z, rgba, normal xyz, u/z, v/z, 1/z].
-
-    strategy: 'mask' (small scenes), 'sorted' (scales to millions of
-    triangles), or 'auto'. ``capacity`` only applies to the mask strategy;
-    (row0, col0)/(frame_height, frame_width) support rendering a local
-    sub-rect of a larger frame (mesh sharding).
-    """
-    T = edges.num_triangles
-    if frame_height is None:
-        frame_height = height
-    if frame_width is None:
-        frame_width = width
-    if strategy == "auto":
-        strategy = "sorted" if T > AUTO_SORTED_THRESHOLD else "mask"
-
-    if strategy == "mask":
-        if capacity is None:
-            # Per-tile list capacity: all triangles for small scenes, else a
-            # cap that keeps the kernel's record block inside VMEM. Drops are
-            # counted in stats — raise `capacity` if nonzero.
-            capacity = min(max(CHUNK_T, -(-T // CHUNK_T) * CHUNK_T), 4096)
-        bins = bin_triangles(
-            edges, height, width, TILE_H, TILE_W, capacity,
-            frame_height, frame_width, row0, col0,
-        )
-        gid, gbuf = raster_pass(
-            edges, bins, height, width, frame_width, row0, col0
-        )
-        stats = {"bins_dropped": bins.n_dropped}
-    elif strategy == "sorted":
-        recs = pack_records(edges)
-        qbins = bin_triangles_queue(
-            edges, height, width, TILE_H, TILE_W, QUEUE_BLK,
-            frame_height=frame_height, frame_width=frame_width,
-            row0=row0, col0=col0,
-        )
-        gid, gbuf = raster_pass_queue(
-            edges, qbins, height, width, frame_width, row0, col0, recs=recs
-        )
-
-        # Side pass for triangles too large for the expansion: every tile
-        # sees the (short, fixed-capacity) large list via one shared,
-        # pipeline-resident record block. Skipped at runtime when the list
-        # is empty (the common case — one branch of the cond executes).
-        def with_large(args):
-            side = raster_pass_broadcast(
-                recs, qbins.large_ids, qbins.n_large, height, width,
-                frame_width, row0, col0,
-            )
-            return _merge_gbuf_by_gid(args, side)
-
-        gid, gbuf = jax.lax.cond(
-            qbins.n_large > 0, with_large, lambda args: args, (gid, gbuf)
-        )
-        stats = {"bins_dropped": qbins.n_dropped}
-    else:
-        raise ValueError(f"unknown strategy: {strategy}")
-
-    return gid >= 0, gbuf, stats

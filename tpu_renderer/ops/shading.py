@@ -99,6 +99,86 @@ def phong_shade(pos, nrm, base, lights: LightData):
     return clamp01(final)
 
 
+def _inner3_planes(a, b):
+    """core.math.inner for 3 channel planes, identical accumulation order."""
+    acc = a[0] * b[0]
+    acc = acc + a[1] * b[1]
+    acc = acc + a[2] * b[2]
+    return acc
+
+
+def _normalize3_planes(v):
+    """core.math.normalize for 3 channel planes, identical op order
+    (explicit 1/sqrt of the fixed-order dot, one reciprocal shared)."""
+    d = _inner3_planes(v, v)
+    inv = F32(1.0) / jnp.sqrt(d)
+    return [v[0] * inv, v[1] * inv, v[2] * inv]
+
+
+def shade_planes(z, col, nrm, px, py, cam, ambient, light_p, light_i,
+                 phong: bool, n_lights: int):
+    """Channel-unrolled (plane-wise) shading for UNTEXTURED configs.
+
+    The exact computation of ``shade``/``phong_shade`` with the channel
+    axis unrolled into separate (R, W) planes, so it runs inside Pallas
+    kernels (which want 2D lane-major arrays, not trailing size-3/4 dims).
+    Elementwise op order is identical to the array forms — results are
+    bit-equal on the same backend; tests assert it.
+
+    z/px/py: (R, W) planes (global pixel coords); col: 4 planes; nrm: 3
+    planes (ignored unless phong); cam: (dat, fl, m2p, cx, cy) f32 scalars;
+    ambient: 4 scalars; light_p/light_i: per-light 3/4 scalar tuples.
+    Returns 4 rgba planes — the PHONG result where lit; the caller selects
+    covered pixels (mirroring shade()'s jnp.where) and packs.
+    """
+    if not phong:
+        return list(col)
+    dat, fl, m2p, cx, cy = cam
+    # unproject_vertices (geometry.vertex), channel-wise
+    dz = dat - z
+    inv_m2p = F32(1.0) / m2p
+    ax = (px - cx) * inv_m2p
+    ay = (py - cy) * inv_m2p
+    s = dz / fl
+    pos = [s * ax, s * ay, z]
+    nrm = _normalize3_planes(list(nrm))  # divergence #3: single normalize
+    base = list(col)
+    view = _normalize3_planes([-pos[0], -pos[1], -pos[2]])
+    final = [jnp.zeros_like(z) for _ in range(4)]
+    for k in range(n_lights):
+        if k == 0:
+            final = [base[c] * ambient[c] for c in range(4)]
+        to_light = _normalize3_planes(
+            [light_p[k][i] - pos[i] for i in range(3)]
+        )
+        cosi = clamp01(_inner3_planes(nrm, to_light))
+        half = _normalize3_planes(
+            [to_light[i] + view[i] for i in range(3)]
+        )
+        spec = pow16(clamp01(_inner3_planes(nrm, half)))
+        final = [
+            final[c] + cosi * (base[c] * light_i[k][c])
+            + spec * (F32(1.0) * light_i[k][c])
+            for c in range(4)
+        ]
+    return [clamp01(f) for f in final]
+
+
+def pack_argb_planes(r, g, b, a):
+    """core.math.pack_argb with the channel axis unrolled into planes.
+
+    Casts via int32 (Mosaic has no f32->u32 cast); identical values for the
+    in-range [0, 255] rounded channels."""
+
+    def chan(x):
+        return round_half_away(x * F32(255.0)).astype(jnp.int32).astype(
+            jnp.uint32
+        )
+
+    ri, gi, bi, ai = chan(r), chan(g), chan(b), chan(a)
+    return (ai << 24) | (ri << 16) | (gi << 8) | bi
+
+
 def shade(covered, gbuf, transform: ProjectiveTransform, lights: LightData,
           cfg: ObjectConfig, texture=None, row0=0, col0=0):
     """Shade a channel-first (11, H, W) G-buffer; returns

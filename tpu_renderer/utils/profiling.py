@@ -90,6 +90,7 @@ def stage_breakdown(obj, cfg, transform, lights, height: int, width: int,
         strategy = (
             "sorted" if T > rp.AUTO_SORTED_THRESHOLD else "mask"
         )
+    tile_h = rp._pick_tile_h(T)
     angles = jnp.linspace(0.0, 0.7, frames).astype(jnp.float32)
 
     def timed(prefix_fn):
@@ -116,24 +117,38 @@ def stage_breakdown(obj, cfg, transform, lights, height: int, width: int,
     def p_bin(o):
         e = setup_triangles(o, transform, lights, cfg)
         if strategy == "mask":
-            b = bin_triangles(e, height, width, rp.TILE_H, rp.TILE_W,
+            b = bin_triangles(e, height, width, tile_h, rp.TILE_W,
                               min(max(rp.CHUNK_T, T), 4096))
             return jnp.sum(b.counts).astype(jnp.float32)
-        q = bin_triangles_queue(e, height, width, rp.TILE_H, rp.TILE_W,
+        q = bin_triangles_queue(e, height, width, tile_h, rp.TILE_W,
                                 rp.QUEUE_BLK)
         return jnp.sum(q.counts).astype(jnp.float32)
 
+    # Untextured configs run the fully-fused kernel (raster + shade in one
+    # pass); textured configs raster to a G-buffer and shade deferred.
+    fused = not cfg.textured
+
     def p_raster(o):
         e = setup_triangles(o, transform, lights, cfg)
+        if fused:
+            covered, z, color, _ = rp.rasterize_pallas_shaded(
+                e, transform, lights, cfg.phong, height, width,
+                strategy=strategy, tile_h=tile_h,
+            )
+            return jnp.sum(jnp.where(covered, z, 0.0)) + (
+                color[0, 0] & 1
+            ).astype(jnp.float32)
         covered, gbuf, _ = rp.rasterize_pallas(
-            e, height, width, strategy=strategy
+            e, height, width, strategy=strategy, tile_h=tile_h
         )
         return jnp.sum(jnp.where(covered, gbuf[0], 0.0))
 
     def p_shade(o):
+        if fused:
+            return p_raster(o)  # shading already inside the kernel
         e = setup_triangles(o, transform, lights, cfg)
         covered, gbuf, _ = rp.rasterize_pallas(
-            e, height, width, strategy=strategy
+            e, height, width, strategy=strategy, tile_h=tile_h
         )
         rgba, covered = shade(covered, gbuf, transform, lights, cfg,
                               obj.texture, 0, 0)
@@ -147,6 +162,8 @@ def stage_breakdown(obj, cfg, transform, lights, height: int, width: int,
     ]}
     return {
         "strategy": strategy,
+        "tile_h": tile_h,
+        "fused_shading": fused,
         "setup_ms": cum["setup"],
         "binning_ms": cum["binning"] - cum["setup"],
         "raster_ms": cum["raster"] - cum["binning"],
