@@ -36,6 +36,13 @@ from ..ops.shading import shade
 F32 = jnp.float32
 
 
+def _texture_fits_fused(texture) -> bool:
+    from ..ops.raster_pallas import MAX_FUSED_TEX_DIM, MAX_FUSED_TEX_PIXELS
+
+    th, tw = int(texture.shape[0]), int(texture.shape[1])
+    return max(th, tw) <= MAX_FUSED_TEX_DIM and th * tw <= MAX_FUSED_TEX_PIXELS
+
+
 def render_object(
     framebuffer: Framebuffer,
     obj: RenderObject,
@@ -64,15 +71,25 @@ def render_object(
     if frame_width is None:
         frame_width = width
     edges = setup_triangles(obj, transform, lights, cfg)
-    if backend == "pallas" and not cfg.textured:
+    fused_tex = (
+        cfg.textured
+        and cfg.uv_mode == "scalar"
+        and cfg.filter_mode == "nearest"
+        and obj.texture is not None
+        and _texture_fits_fused(obj.texture)
+    )
+    if backend == "pallas" and (not cfg.textured or fused_tex):
         # Fully-fused fast path: raster + interpolate + shade + pack in one
-        # Pallas kernel; the G-buffer never exists in HBM. Texture sampling
-        # stays deferred (the fetch is one big XLA gather).
+        # Pallas kernel; the G-buffer never exists in HBM. Small 'scalar'/
+        # nearest textures sample in-kernel via an MXU one-hot contraction
+        # (TPU per-element gathers are pathological); bilinear, 'avx'
+        # uv-masking, and large textures stay on the deferred XLA path.
         from ..ops.raster_pallas import rasterize_pallas_shaded
 
         covered, z, packed, rstats = rasterize_pallas_shaded(
             edges, transform, lights, cfg.phong, height, width, capacity,
             frame_height, frame_width, row0, col0,
+            texture=obj.texture if fused_tex else None,
         )
         if stats is not None:
             stats["bins_dropped"] = (

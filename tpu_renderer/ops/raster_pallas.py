@@ -170,6 +170,65 @@ def shade_params(transform: ProjectiveTransform, lights: LightData):
     return jnp.concatenate(parts)
 
 
+# In-kernel fused texturing is limited to textures whose channel-blocked
+# bf16 form fits comfortably in VMEM alongside the tile buffers.
+MAX_FUSED_TEX_DIM = 512
+MAX_FUSED_TEX_PIXELS = 128 * 128
+
+
+def pack_texture_mxu(texture_u32) -> jnp.ndarray:
+    """(th, 4*tw) bf16 channel-blocked INTEGER texel planes [r|g|b|a].
+
+    Texel channel ints (0..255) are exact in bf16, so the kernel's one-hot
+    MXU contraction reproduces unpack_argb's values bit-exactly after the
+    final f32 multiply by 1/255. Channel order matches unpack_argb
+    (projekt.cpp:440-443): r=bits[23:16], g=[15:8], b=[7:0], a=[31:24]."""
+    t = texture_u32.astype(jnp.uint32)
+    r = ((t >> 16) & 0xFF).astype(jnp.bfloat16)
+    g = ((t >> 8) & 0xFF).astype(jnp.bfloat16)
+    b = (t & 0xFF).astype(jnp.bfloat16)
+    a = ((t >> 24) & 0xFF).astype(jnp.bfloat16)
+    return jnp.concatenate([r, g, b, a], axis=1)
+
+
+def _sample_texture_rows(u, v, tex_ref, th, tw, tile_h, tile_w):
+    """Nearest-neighbor 'scalar'-mode texture fetch as an MXU one-hot
+    contraction (TPU per-element gathers measured ~15 ms/frame at 1080p;
+    this is ~0.3 ms of bf16 matmul).
+
+    Index math is sample_texture's scalar mode exactly
+    (projekt.cpp:429-445): round_half_away(uv * (dim-1)), clamped. The v
+    one-hot contracts against the channel-blocked texture on the MXU
+    (exact: one-hot times ints <= 255, f32 accumulate), then a masked sum
+    over the u one-hot picks the texel. Channels run sequentially to bound
+    the (R, W, tw) intermediates in VMEM. Returns 4 (R, W) rgba planes in
+    [0, 1]."""
+    txi = jnp.clip(
+        round_half_away(u * F32(tw - 1)).astype(jnp.int32), 0, tw - 1
+    )  # (R, W)
+    tyi = jnp.clip(
+        round_half_away(v * F32(th - 1)).astype(jnp.int32), 0, th - 1
+    )
+    oh_v = (
+        tyi[:, :, None]
+        == jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w, th), 2)
+    ).astype(jnp.bfloat16)  # (R, W, th)
+    oh_u = (
+        txi[:, :, None]
+        == jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w, tw), 2)
+    ).astype(F32)  # (R, W, tw)
+    inv255 = F32(1.0) / F32(255.0)
+    out = []
+    for c in range(4):
+        mid = jax.lax.dot_general(
+            oh_v, tex_ref[:, c * tw:(c + 1) * tw],
+            (((2,), (0,)), ((), ())),
+            preferred_element_type=F32,
+        )  # (R, W, tw) exact ints
+        out.append(jnp.sum(oh_u * mid, axis=-1) * inv255)
+    return out
+
+
 def _chunk_best(rec, lo_rel, n_rel, yf, xc, w_f, fields, tile_h, tile_w):
     """Fold CHUNK_T triangles' fragments: coverage + z + the ``fields``
     interpolants, best-per-pixel (earlier entry wins z ties).
@@ -347,10 +406,14 @@ def _pixel_coords(origin, ty, tx, tile_h, tile_w):
 
 
 def _finalize_shade(z, gid, planes, origin, ty, tx, params_ref, phong,
-                    n_lights, tile_h, tile_w):
+                    n_lights, tile_h, tile_w, tex_ref=None, tex_dims=None):
     """Tile finalize: shade the winning fragments (ops.shading.shade_planes
     semantics) and pack ARGB. Uncovered pixels keep the zero base color,
-    exactly like shade()'s covered-select + pack in the XLA path."""
+    exactly like shade()'s covered-select + pack in the XLA path.
+
+    With a texture (tex_ref + static tex_dims), the base color is the
+    MXU-sampled texel (shade()'s textured branch: perspective u/v from the
+    interpolated u/z, v/z, 1/z; Gouraud+texture = unlit texture)."""
     covered = gid >= 0
     px, py = _pixel_coords(origin, ty, tx, tile_h, tile_w)
     cam = tuple(params_ref[i] for i in range(5))
@@ -363,8 +426,18 @@ def _finalize_shade(z, gid, planes, origin, ty, tx, params_ref, phong,
         tuple(params_ref[9 + 7 * k + 3 + c] for c in range(4))
         for k in range(n_lights)
     ]
-    col = planes[:4]
-    nrm = planes[4:7] if phong else None
+    if tex_ref is not None:
+        th, tw = tex_dims
+        inv_oz = F32(1.0) / planes[2]
+        u = jnp.where(covered, inv_oz * planes[0], F32(0.0))
+        v = jnp.where(covered, inv_oz * planes[1], F32(0.0))
+        tex_rgba = _sample_texture_rows(u, v, tex_ref, th, tw, tile_h,
+                                        tile_w)
+        col = [jnp.where(covered, tex_rgba[c], F32(0.0)) for c in range(4)]
+        nrm = planes[3:6] if phong else None
+    else:
+        col = planes[:4]
+        nrm = planes[4:7] if phong else None
     rgba = shade_planes(z, col, nrm, px, py, cam, ambient, light_p,
                         light_i, phong, n_lights)
     if phong:
@@ -737,9 +810,14 @@ def _init_shaded_tile(z_ref, gid_ref, scr_ref, n_fields, tile_h, tile_w):
 
 
 def _raster_kernel_tilelist_shaded(count_ref, origin_ref, params_ref,
-                                   rec_ref, z_ref, gid_ref, color_ref,
-                                   scr_ref, *, frame_width, fields, phong,
-                                   n_lights, tile_h, tile_w):
+                                   rec_ref, *rest, frame_width, fields,
+                                   phong, n_lights, tile_h, tile_w,
+                                   tex_dims=None):
+    if tex_dims is not None:
+        tex_ref, z_ref, gid_ref, color_ref, scr_ref = rest
+    else:
+        tex_ref = None
+        z_ref, gid_ref, color_ref, scr_ref = rest
     ty = pl.program_id(0)
     tx = pl.program_id(1)
     yf, xc = _tile_coords_rw(origin_ref, ty, tx, tile_h, tile_w)
@@ -760,18 +838,23 @@ def _raster_kernel_tilelist_shaded(count_ref, origin_ref, params_ref,
     planes = [scr_ref[i, :, :] for i in range(len(fields))]
     color_ref[:] = _finalize_shade(
         z_ref[:], gid_ref[:], planes, origin_ref, ty, tx, params_ref,
-        phong, n_lights, tile_h, tile_w,
+        phong, n_lights, tile_h, tile_w, tex_ref, tex_dims,
     )
 
 
 def _raster_kernel_queue_shaded(wi_tile, starts, counts, item_ext, origin,
-                                params, rec_ref, z_ref, gid_ref, color_ref,
-                                scr_ref, *, frame_width, fields, phong,
-                                n_lights, tiles_x, tile_h, tile_w):
+                                params, rec_ref, *rest, frame_width,
+                                fields, phong, n_lights, tiles_x, tile_h,
+                                tile_w, tex_dims=None):
     """Shaded queue kernel. ``item_ext`` has ntiles+2 entries (last = maxw)
     so the dummy tail tile's item count is well-defined; the attribute
     scratch persists across a tile's consecutive work items (TPU grid steps
     run sequentially on one core) and the tile's LAST item shades it."""
+    if tex_dims is not None:
+        tex_ref, z_ref, gid_ref, color_ref, scr_ref = rest
+    else:
+        tex_ref = None
+        z_ref, gid_ref, color_ref, scr_ref = rest
     g = pl.program_id(0)
     tile = wi_tile[g]
     ty = tile // tiles_x
@@ -818,14 +901,18 @@ def _raster_kernel_queue_shaded(wi_tile, starts, counts, item_ext, origin,
         planes = [scr_ref[i, :, :] for i in range(len(fields))]
         color_ref[:] = _finalize_shade(
             z_ref[:], gid_ref[:], planes, origin, ty, tx, params,
-            phong, n_lights, tile_h, tile_w,
+            phong, n_lights, tile_h, tile_w, tex_ref, tex_dims,
         )
 
 
 def _raster_kernel_bcast_shaded(count_ref, origin_ref, params_ref, rec_ref,
-                                z_ref, gid_ref, color_ref, scr_ref, *,
-                                frame_width, fields, phong, n_lights,
-                                tile_h, tile_w):
+                                *rest, frame_width, fields, phong,
+                                n_lights, tile_h, tile_w, tex_dims=None):
+    if tex_dims is not None:
+        tex_ref, z_ref, gid_ref, color_ref, scr_ref = rest
+    else:
+        tex_ref = None
+        z_ref, gid_ref, color_ref, scr_ref = rest
     ty = pl.program_id(0)
     tx = pl.program_id(1)
     yf, xc = _tile_coords_rw(origin_ref, ty, tx, tile_h, tile_w)
@@ -845,7 +932,7 @@ def _raster_kernel_bcast_shaded(count_ref, origin_ref, params_ref, rec_ref,
     planes = [scr_ref[i, :, :] for i in range(len(fields))]
     color_ref[:] = _finalize_shade(
         z_ref[:], gid_ref[:], planes, origin_ref, ty, tx, params_ref,
-        phong, n_lights, tile_h, tile_w,
+        phong, n_lights, tile_h, tile_w, tex_ref, tex_dims,
     )
 
 
@@ -882,10 +969,15 @@ def rasterize_pallas_shaded(
     col0=0,
     strategy: str = "auto",
     tile_h: int | None = None,
+    texture=None,
 ):
-    """Fully-fused fast path for UNTEXTURED objects: raster + interpolate +
-    shade + ARGB pack in one kernel -> (covered, z(H,W), color_u32(H,W),
-    stats). The G-buffer never exists in HBM."""
+    """Fully-fused fast path: raster + interpolate + shade + ARGB pack in
+    one kernel -> (covered, z(H,W), color_u32(H,W), stats). The G-buffer
+    never exists in HBM.
+
+    ``texture`` (u32 ARGB, 'scalar'/'nearest' semantics only — the caller
+    gates other modes to the deferred path) enables in-kernel MXU texture
+    sampling; it must satisfy the MAX_FUSED_TEX_* limits."""
     T = edges.num_triangles
     if frame_height is None:
         frame_height = height
@@ -896,7 +988,18 @@ def rasterize_pallas_shaded(
     if tile_h is None:
         tile_h = _pick_tile_h(T)
 
-    fields = _COL_FIELDS + (_NRM_FIELDS if phong else ())
+    if texture is not None:
+        tex_dims = (int(texture.shape[0]), int(texture.shape[1]))
+        assert (
+            max(tex_dims) <= MAX_FUSED_TEX_DIM
+            and tex_dims[0] * tex_dims[1] <= MAX_FUSED_TEX_PIXELS
+        ), "texture too large for the fused path"
+        tex_packed = pack_texture_mxu(texture)
+        fields = _UV_FIELDS + (_NRM_FIELDS if phong else ())
+    else:
+        tex_dims = None
+        tex_packed = None
+        fields = _COL_FIELDS + (_NRM_FIELDS if phong else ())
     n_lights = lights.count
     params = shade_params(transform, lights)
     origin = jnp.stack(
@@ -919,31 +1022,36 @@ def rasterize_pallas_shaded(
         kernel = functools.partial(
             _raster_kernel_tilelist_shaded, frame_width=frame_width,
             fields=fields, phong=phong, n_lights=n_lights, tile_h=tile_h,
-            tile_w=TILE_W,
+            tile_w=TILE_W, tex_dims=tex_dims,
         )
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # counts
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # origin
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # shade params
+            pl.BlockSpec(
+                (1, 1, capacity, REC_LANES),
+                lambda ty, tx: (ty, tx, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        operands = [
+            bins.counts.reshape(-1).astype(jnp.int32), origin, params,
+            tile_recs,
+        ]
+        if tex_dims is not None:
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+            operands.append(tex_packed)
         z, gid, color = pl.pallas_call(
             kernel,
             interpret=interpret,
             grid=(tiles_y, tiles_x),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),  # counts
-                pl.BlockSpec(memory_space=pltpu.SMEM),  # origin
-                pl.BlockSpec(memory_space=pltpu.SMEM),  # shade params
-                pl.BlockSpec(
-                    (1, 1, capacity, REC_LANES),
-                    lambda ty, tx: (ty, tx, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-            ],
+            in_specs=in_specs,
             out_specs=_shaded_out_specs_2d(tile_h, TILE_W),
             out_shape=_shaded_out_shapes(
                 tiles_y * tile_h, tiles_x * TILE_W
             ),
             scratch_shapes=scratch,
-        )(
-            bins.counts.reshape(-1).astype(jnp.int32), origin, params,
-            tile_recs,
-        )
+        )(*operands)
         z = z[:height, :width]
         gid = gid[:height, :width]
         color = color[:height, :width]
@@ -963,7 +1071,7 @@ def rasterize_pallas_shaded(
         kernel = functools.partial(
             _raster_kernel_queue_shaded, frame_width=frame_width,
             fields=fields, phong=phong, n_lights=n_lights, tiles_x=tiles_x,
-            tile_h=tile_h, tile_w=TILE_W,
+            tile_h=tile_h, tile_w=TILE_W, tex_dims=tex_dims,
         )
         rec_index, out_index, _ = _queue_index_maps(tiles_x, n_blocks)
 
@@ -973,12 +1081,15 @@ def rasterize_pallas_shaded(
         def out_index6(g, wi, st, cn, it, org, par, _f=out_index):
             return _f(g, wi, st, cn, it, org)
 
+        in_specs = [pl.BlockSpec((1, QUEUE_BLK, REC_LANES), rec_index6)]
+        operands = [rec_stream]
+        if tex_dims is not None:
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+            operands.append(tex_packed)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=6,
             grid=(maxw,),
-            in_specs=[
-                pl.BlockSpec((1, QUEUE_BLK, REC_LANES), rec_index6),
-            ],
+            in_specs=in_specs,
             out_specs=[
                 pl.BlockSpec((tile_h, TILE_W), out_index6),
                 pl.BlockSpec((tile_h, TILE_W), out_index6),
@@ -995,7 +1106,7 @@ def rasterize_pallas_shaded(
             ),
         )(
             qbins.wi_tile, qbins.starts, qbins.counts, item_ext, origin,
-            params, rec_stream,
+            params, *operands,
         )
         z = z[:height, :width]
         gid = gid[:height, :width]
@@ -1007,30 +1118,35 @@ def rasterize_pallas_shaded(
             kernel_l = functools.partial(
                 _raster_kernel_bcast_shaded, frame_width=frame_width,
                 fields=fields, phong=phong, n_lights=n_lights,
-                tile_h=tile_h, tile_w=TILE_W,
+                tile_h=tile_h, tile_w=TILE_W, tex_dims=tex_dims,
             )
+            in_specs_l = [
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(
+                    (cap, REC_LANES), lambda ty, tx: (0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ]
+            operands_l = [
+                jnp.asarray(qbins.n_large, jnp.int32).reshape(1), origin,
+                params, shared,
+            ]
+            if tex_dims is not None:
+                in_specs_l.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+                operands_l.append(tex_packed)
             z_l, gid_l, col_l = pl.pallas_call(
                 kernel_l,
                 interpret=interpret,
                 grid=(tiles_y, tiles_x),
-                in_specs=[
-                    pl.BlockSpec(memory_space=pltpu.SMEM),
-                    pl.BlockSpec(memory_space=pltpu.SMEM),
-                    pl.BlockSpec(memory_space=pltpu.SMEM),
-                    pl.BlockSpec(
-                        (cap, REC_LANES), lambda ty, tx: (0, 0),
-                        memory_space=pltpu.VMEM,
-                    ),
-                ],
+                in_specs=in_specs_l,
                 out_specs=_shaded_out_specs_2d(tile_h, TILE_W),
                 out_shape=_shaded_out_shapes(
                     tiles_y * tile_h, tiles_x * TILE_W
                 ),
                 scratch_shapes=scratch,
-            )(
-                jnp.asarray(qbins.n_large, jnp.int32).reshape(1), origin,
-                params, shared,
-            )
+            )(*operands_l)
             return _merge_shaded_by_gid(
                 args,
                 (z_l[:height, :width], gid_l[:height, :width],
