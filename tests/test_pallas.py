@@ -215,3 +215,93 @@ def test_shade_planes_matches_shade():
             pack_argb_planes(rgba_p[0], rgba_p[1], rgba_p[2], rgba_p[3])
         )
         np.testing.assert_array_equal(packed_p, packed_ref)
+
+
+def test_fused_texture_matches_deferred_path():
+    """The in-kernel MXU texture sampler must agree with the deferred XLA
+    path (gbuf + sample_texture) pixel-for-pixel on the CPU backend."""
+    import jax.numpy as jnp
+    from tpu_renderer.core.math import pack_argb
+    from tpu_renderer.core.types import make_framebuffer
+    from tpu_renderer.ops.raster_pallas import rasterize_pallas_shaded
+    from tpu_renderer.ops.shading import shade
+
+    scene_g, tr_d, li_d = scenes.baseline_scene(3, H, W)
+    scene_j, tr, li = scenes.to_jax_scene(scene_g, tr_d, li_d)
+    obj, cfg = scene_j[0]
+    edges = setup_triangles(obj, tr, li, cfg)
+
+    covered_f, z_f, color_f, _ = rasterize_pallas_shaded(
+        edges, tr, li, cfg.phong, H, W, texture=obj.texture
+    )
+
+    from tpu_renderer.ops.raster_pallas import rasterize_pallas
+    covered_d, gbuf, _ = rasterize_pallas(edges, H, W)
+    rgba, covered_d = shade(covered_d, gbuf, tr, li, cfg, obj.texture, 0, 0)
+    color_d = pack_argb(rgba)
+
+    cf, cd = np.asarray(covered_f), np.asarray(covered_d)
+    np.testing.assert_array_equal(cf, cd)
+    colf, cold = np.asarray(color_f), np.asarray(color_d)
+    m = cf  # uncovered pixels pack the zero base color in both paths
+    assert (colf[m] == cold[m]).mean() > 0.999
+    zf, zd = np.asarray(z_f), np.asarray(gbuf[0])
+    ok = (zf[m] == zd[m]) | np.isclose(zf[m], zd[m], rtol=1e-6, atol=0.0)
+    assert ok.mean() > 0.999
+
+
+@pytest.mark.parametrize("strategy", ["mask", "sorted"])
+def test_tile_height_does_not_change_output(strategy):
+    """tile_h is a pure performance knob: 8-row and 32-row grids must
+    produce identical rasterization."""
+    edges = edges_for(1)
+    out = {}
+    for th in (8, 32):
+        cov, gbuf, st = jax.jit(
+            rasterize_pallas, static_argnums=(1, 2, 3, 8, 9)
+        )(edges, H, W, None, None, None, 0, 0, strategy, th)
+        out[th] = (np.asarray(cov), np.asarray(gbuf), int(st["bins_dropped"]))
+    np.testing.assert_array_equal(out[8][0], out[32][0])
+    np.testing.assert_array_equal(out[8][1], out[32][1])
+    assert out[8][2] == out[32][2] == 0
+
+
+def test_queue_entry_budget_overflow_counted():
+    """Entries beyond the static budget (budget_factor * T) drop and are
+    COUNTED — never silent. Tall thin triangles on a fine 8-row grid span
+    ~8 tiles each, far above a budget_factor=1 allowance."""
+    import jax.numpy as jnp
+
+    from tpu_renderer.core.types import (
+        ObjectConfig, make_object, make_transform, no_lights,
+    )
+    from tpu_renderer.ops.binning import bin_triangles_queue
+
+    n = 64
+    verts = []
+    for i in range(n):
+        x = -0.9 + 1.8 * i / n
+        # CW-visible tall sliver spanning most of the frame vertically
+        verts += [[x, -0.75, 0.0], [x + 0.01, 0.75, 0.0],
+                  [x + 0.02, -0.75, 0.0]]
+    obj = make_object(
+        (0.0, 0.0, 0.0), np.asarray(verts, F),
+        np.ones((3 * n, 4), F), np.tile(np.float32([0, 0, 1]), (3 * n, 1)),
+        np.zeros((3 * n, 2), F),
+    )
+    tr = make_transform(3.0, 1.0, 80.0, (64.0, 64.0))
+    edges = setup_triangles(obj, tr, no_lights(), ObjectConfig())
+
+    q = bin_triangles_queue(edges, H, W, 8, 128, 64, budget_factor=1)
+    assert int(q.n_dropped) > 0
+    # and a roomy budget keeps everything
+    q2 = bin_triangles_queue(edges, H, W, 8, 128, 64, budget_factor=16)
+    assert int(q2.n_dropped) == 0
+
+
+def test_mask_strategy_vmem_guard():
+    """Explicit 'mask' with a capacity whose record blocks would blow VMEM
+    must be rejected loudly, not OOM the chip."""
+    edges = edges_for(4)
+    with pytest.raises(ValueError, match="mask strategy"):
+        rasterize_pallas(edges, 1024, 1920, 16384, None, None, 0, 0, "mask")
