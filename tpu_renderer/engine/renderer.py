@@ -129,6 +129,93 @@ def render_object(
     )
 
 
+def _obj_fusable(obj: RenderObject, cfg: ObjectConfig) -> bool:
+    """Eligible for the fully-fused (in-kernel shading) path?"""
+    if not cfg.textured:
+        return True
+    return (
+        cfg.uv_mode == "scalar"
+        and cfg.filter_mode == "nearest"
+        and obj.texture is not None
+        and _texture_fits_fused(obj.texture)
+    )
+
+
+def _scene_batchable(scene) -> bool:
+    """Whole-scene single-kernel eligibility: every object fusable AND the
+    combined texture atlas within the VMEM budget."""
+    from ..ops.raster_pallas import MAX_FUSED_TEX_DIM, MAX_FUSED_TEX_PIXELS
+
+    if not all(_obj_fusable(obj, cfg) for obj, cfg in scene):
+        return False
+    seen, ah, aw = set(), 0, 0
+    for obj, cfg in scene:
+        if cfg.textured and id(obj.texture) not in seen:
+            seen.add(id(obj.texture))
+            ah += int(obj.texture.shape[0])
+            aw = max(aw, int(obj.texture.shape[1]))
+    return max(ah, aw) <= MAX_FUSED_TEX_DIM and ah * aw <= MAX_FUSED_TEX_PIXELS
+
+
+def _render_scene_batched(
+    framebuffer, scene, transform, lights, frame_height, frame_width,
+    row0, col0, capacity, stats,
+):
+    """ONE fused kernel launch for the whole scene: edge tables concatenate
+    into a scene-global table (row index = global triangle id = submission
+    order), per-object shading selects by static gid ranges in-kernel, and
+    all textures ride one packed atlas. Replaces len(scene) kernel
+    dispatches + framebuffer merges per frame — the reference's per-model
+    work items (projekt.cpp:3873-3878) collapsed into one grid."""
+    from ..geometry.vertex import concat_edge_tables
+    from ..ops.raster_pallas import (
+        ObjSpec,
+        pack_texture_atlas,
+        rasterize_scene_shaded,
+    )
+
+    height, width = framebuffer.height, framebuffer.width
+    textures, tex_slot = [], {}
+    tables, raw = [], []
+    for obj, cfg in scene:
+        tables.append(setup_triangles(obj, transform, lights, cfg))
+        slot = None
+        if cfg.textured:
+            key = id(obj.texture)
+            if key not in tex_slot:
+                tex_slot[key] = len(textures)
+                textures.append(obj.texture)
+            slot = tex_slot[key]
+        raw.append((cfg.phong, slot))
+    if textures:
+        atlas, offs = pack_texture_atlas(textures)
+    else:
+        atlas, offs = None, []
+    objspecs, gid = [], 0
+    for table, (phong, slot) in zip(tables, raw):
+        T = table.num_triangles
+        tex = None
+        if slot is not None:
+            t = textures[slot]
+            tex = (offs[slot], int(t.shape[0]), int(t.shape[1]))
+        objspecs.append(ObjSpec(gid, gid + T, bool(phong), tex))
+        gid += T
+    edges = concat_edge_tables(tables)
+    covered, z, packed, rstats = rasterize_scene_shaded(
+        edges, tuple(objspecs), transform, lights, height, width, capacity,
+        frame_height, frame_width, row0, col0, atlas=atlas,
+    )
+    if stats is not None:
+        stats["bins_dropped"] = (
+            stats.get("bins_dropped", 0) + rstats["bins_dropped"]
+        )
+    win = covered & (z > framebuffer.depth)
+    return Framebuffer(
+        color=jnp.where(win, packed, framebuffer.color),
+        depth=jnp.where(win, z, framebuffer.depth),
+    )
+
+
 def render_scene(
     framebuffer: Framebuffer,
     scene: Sequence[Tuple[RenderObject, ObjectConfig]],
@@ -142,7 +229,16 @@ def render_scene(
     capacity: int | None = None,
     stats: dict | None = None,
 ) -> Framebuffer:
-    """Draw a list of objects in submission order (shared z-buffer)."""
+    """Draw a list of objects in submission order (shared z-buffer).
+
+    On the pallas backend a scene whose objects are all fused-path-eligible
+    renders in ONE kernel launch (_render_scene_batched); otherwise objects
+    draw one at a time (bit-identical output either way — tested)."""
+    if backend == "pallas" and len(scene) > 1 and _scene_batchable(scene):
+        return _render_scene_batched(
+            framebuffer, scene, transform, lights, frame_height,
+            frame_width, row0, col0, capacity, stats,
+        )
     for obj, cfg in scene:
         framebuffer = render_object(
             framebuffer, obj, transform, lights, cfg, backend,
@@ -187,11 +283,10 @@ class Renderer:
             def fn(objs, transform, lights):
                 fb = make_framebuffer(self.height, self.width, self.clear_color)
                 stats = {}
-                for obj, cfg in zip(objs, cfgs):
-                    fb = render_object(
-                        fb, obj, transform, lights, cfg, self.backend,
-                        capacity=self.capacity, stats=stats,
-                    )
+                fb = render_scene(
+                    fb, list(zip(objs, cfgs)), transform, lights,
+                    self.backend, capacity=self.capacity, stats=stats,
+                )
                 return (fb, stats) if with_stats else fb
 
             self._compiled[key] = fn

@@ -60,6 +60,22 @@ class EdgeTable(NamedTuple):
         return self.valid.shape[0]
 
 
+def concat_edge_tables(tables) -> "EdgeTable":
+    """Concatenate per-object edge tables along the triangle axis.
+
+    Row index in the result IS the scene-global triangle id: objects in
+    submission order, triangles in object order — so the packed-record
+    GID lane and every (z, gid) merge preserve the reference's
+    submission-order depth-tie rule across a whole multi-object scene
+    (projekt.cpp:495 strict-greater test, applied scene-wide)."""
+    tables = list(tables)
+    if len(tables) == 1:
+        return tables[0]
+    return EdgeTable(
+        *[jnp.concatenate(cols, axis=0) for cols in zip(*tables)]
+    )
+
+
 def project_vertices(cam: jnp.ndarray, transform: ProjectiveTransform):
     """Perspective projection, vectorized (ProjectVertex, projekt.cpp:74-93).
 

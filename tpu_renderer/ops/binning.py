@@ -66,6 +66,59 @@ def triangle_bbox(edges: EdgeTable, height: int, width: int):
     return tri_valid, ylo, yhi, xlo, xhi
 
 
+def _bin_from_bbox(
+    tri_valid, ylo, yhi, xlo, xhi, tri_ids, tiles_y, tiles_x, tile_h,
+    tile_w, capacity, row0, col0,
+) -> TileBins:
+    """Dense-mask binning core over precomputed (local-frame) bboxes.
+
+    ``tri_ids`` are the values stored in the per-tile lists (global
+    triangle ids — callers binning a compacted subset pass the subset's
+    global ids so downstream record gathers stay id-addressed)."""
+    T = tri_valid.shape[0]
+    ylo = ylo - jnp.asarray(row0, F32)
+    yhi = yhi - jnp.asarray(row0, F32)
+    xlo = xlo - jnp.asarray(col0, F32)
+    xhi = xhi - jnp.asarray(col0, F32)
+
+    ty_lo = jnp.floor(ylo / F32(tile_h)).astype(jnp.int32)
+    ty_hi = jnp.ceil(yhi / F32(tile_h)).astype(jnp.int32)  # exclusive
+    tx_lo = jnp.floor(xlo / F32(tile_w)).astype(jnp.int32)
+    tx_hi = (jnp.floor(xhi / F32(tile_w)).astype(jnp.int32) + 1)  # exclusive
+
+    ty_ids = jnp.arange(tiles_y, dtype=jnp.int32)
+    tx_ids = jnp.arange(tiles_x, dtype=jnp.int32)
+    in_y = (ty_ids[None, :] >= ty_lo[:, None]) & (ty_ids[None, :] < ty_hi[:, None])
+    in_x = (tx_ids[None, :] >= tx_lo[:, None]) & (tx_ids[None, :] < tx_hi[:, None])
+    mask = (
+        tri_valid[:, None, None] & in_y[:, :, None] & in_x[:, None, :]
+    ).reshape(T, tiles_y * tiles_x)
+
+    # Stable compaction per tile: position of triangle i in tile t's list is
+    # the number of earlier binned triangles (cumsum), preserving submission
+    # order — the property the depth tie-break relies on.
+    pos = jnp.cumsum(mask.astype(jnp.int32), axis=0) - 1  # (T, tiles)
+    total = jnp.where(mask.any(axis=0), pos[-1] + 1, 0)  # (tiles,)
+    n_dropped = jnp.sum(jnp.maximum(total - capacity, 0))
+
+    keep = mask & (pos < capacity)
+    scatter_pos = jnp.where(keep, pos, capacity)  # capacity row = discard
+
+    ids = jnp.full((tiles_y * tiles_x, capacity + 1), -1, jnp.int32)
+    ids = ids.at[
+        jnp.arange(tiles_y * tiles_x, dtype=jnp.int32)[None, :],
+        scatter_pos.astype(jnp.int32),
+    ].set(jnp.broadcast_to(tri_ids[:, None], scatter_pos.shape), mode="drop")
+    ids = ids[:, :capacity]
+
+    counts = jnp.minimum(total, capacity).astype(jnp.int32)
+    return TileBins(
+        ids=ids.reshape(tiles_y, tiles_x, capacity),
+        counts=counts.reshape(tiles_y, tiles_x),
+        n_dropped=n_dropped,
+    )
+
+
 def bin_triangles(
     edges: EdgeTable,
     height: int,
@@ -95,48 +148,98 @@ def bin_triangles(
     tri_valid, ylo, yhi, xlo, xhi = triangle_bbox(
         edges, frame_height, frame_width
     )
-    # shift into local tile coordinates
-    ylo = ylo - jnp.asarray(row0, F32)
-    yhi = yhi - jnp.asarray(row0, F32)
-    xlo = xlo - jnp.asarray(col0, F32)
-    xhi = xhi - jnp.asarray(col0, F32)
+    return _bin_from_bbox(
+        tri_valid, ylo, yhi, xlo, xhi, jnp.arange(T, dtype=jnp.int32),
+        tiles_y, tiles_x, tile_h, tile_w, capacity, row0, col0,
+    )
+
+
+def count_subset_per_tile(
+    subset_ids,
+    edges: EdgeTable,
+    height: int,
+    width: int,
+    tile_h: int,
+    tile_w: int,
+    frame_height: int | None = None,
+    frame_width: int | None = None,
+    row0=0,
+    col0=0,
+):
+    """Per-tile overlap counts for a compacted triangle subset — the
+    (tiles_y * tiles_x,) i32 gate the sorted strategy uses to skip the
+    large-list walk on tiles no large triangle touches."""
+    if frame_height is None:
+        frame_height = height
+    if frame_width is None:
+        frame_width = width
+    tiles_y = -(-height // tile_h)
+    tiles_x = -(-width // tile_w)
+
+    tri_valid, ylo, yhi, xlo, xhi = triangle_bbox(
+        edges, frame_height, frame_width
+    )
+    ok = subset_ids >= 0
+    safe = jnp.maximum(subset_ids, 0)
+    valid = ok & tri_valid[safe]
+    ylo = ylo[safe] - jnp.asarray(row0, F32)
+    yhi = yhi[safe] - jnp.asarray(row0, F32)
+    xlo = xlo[safe] - jnp.asarray(col0, F32)
+    xhi = xhi[safe] - jnp.asarray(col0, F32)
 
     ty_lo = jnp.floor(ylo / F32(tile_h)).astype(jnp.int32)
-    ty_hi = jnp.ceil(yhi / F32(tile_h)).astype(jnp.int32)  # exclusive
+    ty_hi = jnp.ceil(yhi / F32(tile_h)).astype(jnp.int32)
     tx_lo = jnp.floor(xlo / F32(tile_w)).astype(jnp.int32)
-    tx_hi = (jnp.floor(xhi / F32(tile_w)).astype(jnp.int32) + 1)  # exclusive
+    tx_hi = jnp.floor(xhi / F32(tile_w)).astype(jnp.int32) + 1
 
     ty_ids = jnp.arange(tiles_y, dtype=jnp.int32)
     tx_ids = jnp.arange(tiles_x, dtype=jnp.int32)
     in_y = (ty_ids[None, :] >= ty_lo[:, None]) & (ty_ids[None, :] < ty_hi[:, None])
     in_x = (tx_ids[None, :] >= tx_lo[:, None]) & (tx_ids[None, :] < tx_hi[:, None])
-    mask = (
-        tri_valid[:, None, None] & in_y[:, :, None] & in_x[:, None, :]
-    ).reshape(T, tiles_y * tiles_x)
+    mask = valid[:, None, None] & in_y[:, :, None] & in_x[:, None, :]
+    return jnp.sum(mask.astype(jnp.int32), axis=0).reshape(-1)
 
-    # Stable compaction per tile: position of triangle i in tile t's list is
-    # the number of earlier binned triangles (cumsum), preserving submission
-    # order — the property the depth tie-break relies on.
-    pos = jnp.cumsum(mask.astype(jnp.int32), axis=0) - 1  # (T, tiles)
-    total = jnp.where(mask.any(axis=0), pos[-1] + 1, 0)  # (tiles,)
-    n_dropped = jnp.sum(jnp.maximum(total - capacity, 0))
 
-    keep = mask & (pos < capacity)
-    scatter_pos = jnp.where(keep, pos, capacity)  # capacity row = discard
-    tri_ids = jnp.arange(T, dtype=jnp.int32)
+def bin_triangle_subset(
+    subset_ids,
+    edges: EdgeTable,
+    height: int,
+    width: int,
+    tile_h: int,
+    tile_w: int,
+    capacity: int,
+    frame_height: int | None = None,
+    frame_width: int | None = None,
+    row0=0,
+    col0=0,
+    emit_positions: bool = False,
+) -> TileBins:
+    """Mask-bin a COMPACTED triangle subset (e.g. the sorted strategy's
+    large-triangle list): ``subset_ids`` is (K,) global triangle ids, -1 =
+    empty slot. The mask matrix is (K, tiles) — independent of the scene's
+    total triangle count, so this stays cheap next to a multi-million-
+    triangle main stream. Lists hold GLOBAL ids, or positions 0..K-1
+    within the subset when ``emit_positions`` (for kernels indexing a
+    resident copy of the compacted records)."""
+    if frame_height is None:
+        frame_height = height
+    if frame_width is None:
+        frame_width = width
+    tiles_y = -(-height // tile_h)
+    tiles_x = -(-width // tile_w)
+    K = subset_ids.shape[0]
 
-    ids = jnp.full((tiles_y * tiles_x, capacity + 1), -1, jnp.int32)
-    ids = ids.at[
-        jnp.arange(tiles_y * tiles_x, dtype=jnp.int32)[None, :],
-        scatter_pos.astype(jnp.int32),
-    ].set(jnp.broadcast_to(tri_ids[:, None], scatter_pos.shape), mode="drop")
-    ids = ids[:, :capacity]
-
-    counts = jnp.minimum(total, capacity).astype(jnp.int32)
-    return TileBins(
-        ids=ids.reshape(tiles_y, tiles_x, capacity),
-        counts=counts.reshape(tiles_y, tiles_x),
-        n_dropped=n_dropped,
+    tri_valid, ylo, yhi, xlo, xhi = triangle_bbox(
+        edges, frame_height, frame_width
+    )
+    ok = subset_ids >= 0
+    safe = jnp.maximum(subset_ids, 0)
+    values = (
+        jnp.arange(K, dtype=jnp.int32) if emit_positions else subset_ids
+    )
+    return _bin_from_bbox(
+        ok & tri_valid[safe], ylo[safe], yhi[safe], xlo[safe], xhi[safe],
+        values, tiles_y, tiles_x, tile_h, tile_w, capacity, row0, col0,
     )
 
 

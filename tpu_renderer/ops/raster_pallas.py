@@ -63,6 +63,7 @@ exactly (modulo backend FMA rounding, golden divergence #8).
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -72,7 +73,13 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.math import round_half_away
 from ..core.types import DEPTH_CLEAR, LightData, ProjectiveTransform
 from ..geometry.vertex import EdgeTable
-from .binning import QueueBins, TileBins, bin_triangles, bin_triangles_queue
+from .binning import (
+    QueueBins,
+    TileBins,
+    bin_triangles,
+    bin_triangles_queue,
+    count_subset_per_tile,
+)
 from .raster_reference import GBUF_CHANNELS
 from .shading import pack_argb_planes, shade_planes
 
@@ -83,6 +90,20 @@ CHUNK_T = 8  # triangles evaluated per vector step
 QUEUE_BLK = 64  # sorted-strategy: entries per pipelined record block
 _BIG = 3.4028235e38
 AUTO_SORTED_THRESHOLD = 512  # auto switches to sorted binning above this
+
+
+def _queue_expansion(tile_h: int, num_triangles: int):
+    """(expansion, budget_factor) for the sorted strategy's entry stream.
+
+    In the 32-row-tile regime (small scenes) triangles are allowed to span
+    up to 32 tiles before falling to the large side list — mid-size
+    triangles (a few hundred px) are common there and the side-list walk
+    costs ceil(n_large/8) chunk evals on EVERY tile it overlaps; the wider
+    expansion keeps them in the per-tile stream at a few extra sort
+    entries. Dense scenes (8-row tiles) have tiny triangles; 8 suffices."""
+    if tile_h >= 32 and num_triangles <= 16384:
+        return 32, 4
+    return 8, 2
 # Auto-switch to 8-row tiles above this triangle count: past ~8k triangles
 # (at 1080p) triangles are small enough that 32-row tiles waste 4x fragment
 # work, and large enough counts amortize the finer grid's per-step DMA
@@ -171,9 +192,54 @@ def shade_params(transform: ProjectiveTransform, lights: LightData):
 
 
 # In-kernel fused texturing is limited to textures whose channel-blocked
-# bf16 form fits comfortably in VMEM alongside the tile buffers.
+# bf16 form fits comfortably in VMEM alongside the tile buffers. The limits
+# apply to the whole per-scene ATLAS (all fused textures stacked row-wise).
 MAX_FUSED_TEX_DIM = 512
 MAX_FUSED_TEX_PIXELS = 128 * 128
+
+
+class ObjSpec(NamedTuple):
+    """Static (trace-time) per-object spec for the fused scene kernel.
+
+    gid_[lo,hi): the object's global-triangle-id range in the concatenated
+    edge table (geometry.vertex.concat_edge_tables); phong selects per-pixel
+    Blinn-Phong at tile finalize; tex is None or (v_off, th, tw) — the
+    object's texture rows inside the packed scene atlas. Hashable, so it can
+    close over the Pallas kernels as a static."""
+
+    gid_lo: int
+    gid_hi: int
+    phong: bool
+    tex: tuple | None
+
+
+def _scene_fields(objspecs):
+    """The union of record fields the scene's finalize consumes, plus the
+    static plane offsets of each group (None = group absent). Interpolated
+    color is skipped when EVERY object is textured (texture replaces the
+    base color entirely — shade()'s quirk, projekt.cpp:427-445 + 513)."""
+    want_col = any(o.tex is None for o in objspecs)
+    want_nrm = any(o.phong for o in objspecs)
+    want_uv = any(o.tex is not None for o in objspecs)
+    fields: tuple = ()
+    col_off = nrm_off = uv_off = None
+    if want_col:
+        col_off = 0
+        fields += _COL_FIELDS
+    if want_nrm:
+        nrm_off = len(fields)
+        fields += _NRM_FIELDS
+    if want_uv:
+        uv_off = len(fields)
+        fields += _UV_FIELDS
+    return fields, col_off, nrm_off, uv_off
+
+
+def _atlas_dims(objspecs):
+    """Static (rows, max-width) of the scene texture atlas."""
+    ah = max(o.tex[0] + o.tex[1] for o in objspecs if o.tex is not None)
+    aw = max(o.tex[2] for o in objspecs if o.tex is not None)
+    return ah, aw
 
 
 def pack_texture_mxu(texture_u32) -> jnp.ndarray:
@@ -191,43 +257,62 @@ def pack_texture_mxu(texture_u32) -> jnp.ndarray:
     return jnp.concatenate([r, g, b, a], axis=1)
 
 
-def _sample_texture_rows(u, v, tex_ref, th, tw, tile_h, tile_w):
-    """Nearest-neighbor 'scalar'-mode texture fetch as an MXU one-hot
+def pack_texture_atlas(textures):
+    """Stack textures row-wise into one channel-blocked bf16 scene atlas.
+
+    Returns (atlas(AH, 4*AW) bf16, row offsets per texture). Each texture's
+    channel c occupies columns [c*AW, c*AW + tw); rows [off, off+th). All
+    values are exact integer texels (pack_texture_mxu), so atlas sampling
+    stays bit-identical to per-texture sampling."""
+    aw = max(int(t.shape[1]) for t in textures)
+    rows, offs, off = [], [], 0
+    for t in textures:
+        th, tw = int(t.shape[0]), int(t.shape[1])
+        b = pack_texture_mxu(t)  # (th, 4*tw)
+        if tw < aw:
+            b = jnp.concatenate(
+                [
+                    jnp.pad(b[:, c * tw:(c + 1) * tw], ((0, 0), (0, aw - tw)))
+                    for c in range(4)
+                ],
+                axis=1,
+            )
+        rows.append(b)
+        offs.append(off)
+        off += th
+    return jnp.concatenate(rows, axis=0), offs
+
+
+def _sample_texture_atlas(txi, tyi, tex_ref, ah, aw, tile_h, tile_w):
+    """Nearest-neighbor texel fetch from the scene atlas as an MXU one-hot
     contraction (TPU per-element gathers measured ~15 ms/frame at 1080p;
     this is ~0.3 ms of bf16 matmul).
 
-    Index math is sample_texture's scalar mode exactly
-    (projekt.cpp:429-445): round_half_away(uv * (dim-1)), clamped. The v
-    one-hot contracts against the channel-blocked texture on the MXU
-    (exact: one-hot times ints <= 255, f32 accumulate), then a masked sum
-    over the u one-hot picks the texel. Channels run sequentially to bound
-    the (R, W, tw) intermediates in VMEM. Returns 4 (R, W) rgba planes in
-    [0, 1]."""
-    txi = jnp.clip(
-        round_half_away(u * F32(tw - 1)).astype(jnp.int32), 0, tw - 1
-    )  # (R, W)
-    tyi = jnp.clip(
-        round_half_away(v * F32(th - 1)).astype(jnp.int32), 0, th - 1
-    )
+    txi/tyi: (R, W) i32 atlas indices (column within the owning texture,
+    global atlas row — the caller does sample_texture's 'scalar'-mode index
+    math per object, projekt.cpp:429-445). The row one-hot contracts against
+    the channel-blocked atlas on the MXU (exact: one-hot times ints <= 255,
+    f32 accumulate), then a masked sum over the column one-hot picks the
+    texel. Returns 4 (R, W) rgba planes in [0, 1]."""
     oh_v = (
         tyi[:, :, None]
-        == jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w, th), 2)
-    ).astype(jnp.bfloat16)  # (R, W, th)
+        == jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w, ah), 2)
+    ).astype(jnp.bfloat16)  # (R, W, AH)
     oh_u = (
         txi[:, :, None]
-        == jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w, tw), 2)
-    ).astype(F32)  # (R, W, tw)
+        == jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w, aw), 2)
+    ).astype(F32)  # (R, W, AW)
     inv255 = F32(1.0) / F32(255.0)
-    # One contraction across all 4 channel blocks (N = 4*tw keeps the MXU
-    # fuller than per-channel N = tw dots); Mosaic requires a 32-bit
+    # One contraction across all 4 channel blocks (N = 4*AW keeps the MXU
+    # fuller than per-channel N = AW dots); Mosaic requires a 32-bit
     # accumulator, and the f32 result is exact for texel ints <= 255.
     mid = jax.lax.dot_general(
         oh_v, tex_ref[:], (((2,), (0,)), ((), ())),
         preferred_element_type=F32,
-    )  # (R, W, 4*tw) exact ints
+    )  # (R, W, 4*AW) exact ints
     out = []
     for c in range(4):
-        k = jnp.sum(oh_u * mid[:, :, c * tw:(c + 1) * tw], axis=-1)
+        k = jnp.sum(oh_u * mid[:, :, c * aw:(c + 1) * aw], axis=-1)
         out.append(k * inv255)
     return out
 
@@ -380,6 +465,23 @@ def _merge_chunk_shaded(best, z_ref, gid_ref, scr_ref):
     scr_ref[:] = jnp.where(win[None], jnp.stack(best_a), scr_ref[:])
 
 
+def _merge_chunk_shaded_bygid(best, z_ref, gid_ref, scr_ref):
+    """Gid-aware chunk merge: strict greater z wins; equal z resolves to
+    the smaller global id (= earlier submission). Used where the incoming
+    chunk is NOT ordered after the accumulated fragments (the sorted
+    strategy's large-triangle lists interleave with the main stream by
+    gid), so the plain first-writer tie rule would be wrong."""
+    best_z, best_i, best_a = best
+    z, gid = z_ref[:], gid_ref[:]
+    cov = best_i >= 0
+    win = cov & (
+        (best_z > z) | ((best_z == z) & ((gid < 0) | (best_i < gid)))
+    )
+    z_ref[:] = jnp.where(win, best_z, z)
+    gid_ref[:] = jnp.where(win, best_i, gid)
+    scr_ref[:] = jnp.where(win[None], jnp.stack(best_a), scr_ref[:])
+
+
 def _tile_coords_rw(origin, ty, tx, tile_h, tile_w):
     """Global (1, R) row / (1, 1, W) col coordinate carriers for the chunk
     math (leading broadcast dims keep row-level ops off the lane axis)."""
@@ -409,37 +511,77 @@ def _pixel_coords(origin, ty, tx, tile_h, tile_w):
 
 
 def _write_tile_color(color_ref, z_ref, gid_ref, scr_ref, origin, ty, tx,
-                      params_ref, phong, n_lights, tile_h, tile_w, fields,
-                      tex_ref, tex_dims):
+                      params_ref, objspecs, n_lights, tile_h, tile_w,
+                      tex_ref):
     """Finalize a tile's packed color, skipping the shade/sample work on
     tiles with no coverage (an uncovered tile's color is pack(zero base) =
     0 in every config, so writing zeros is output-equivalent; texture
-    sampling costs ~10 us/tile and empty tiles are common)."""
+    sampling costs ~10 us/tile and empty tiles are common). In mixed
+    scenes, tiles covered only by UNTEXTURED objects additionally skip the
+    MXU texture sampling (a second specialization of the same finalize —
+    the branches write identical colors where they overlap, only the
+    skipped work differs)."""
     gid = gid_ref[:]
     cov_any = jnp.any(gid >= 0)
+    fields, _, _, _ = _scene_fields(objspecs)
 
-    @pl.when(cov_any)
-    def _():
-        planes = [scr_ref[i, :, :] for i in range(len(fields))]
-        color_ref[:] = _finalize_shade(
-            z_ref[:], gid, planes, origin, ty, tx, params_ref, phong,
-            n_lights, tile_h, tile_w, tex_ref, tex_dims,
-        )
+    def planes():
+        return [scr_ref[i, :, :] for i in range(len(fields))]
+
+    if tex_ref is None:
+        @pl.when(cov_any)
+        def _():
+            color_ref[:] = _finalize_shade(
+                z_ref[:], gid, planes(), origin, ty, tx, params_ref,
+                objspecs, n_lights, tile_h, tile_w, None,
+            )
+    else:
+        tex_any = jnp.zeros((), jnp.bool_)
+        last_hi = objspecs[-1].gid_hi
+        for o in objspecs:
+            if o.tex is None:
+                continue
+            m = gid >= 0
+            if len(objspecs) > 1 and o.gid_lo > 0:
+                m = m & (gid >= o.gid_lo)
+            if len(objspecs) > 1 and o.gid_hi < last_hi:
+                m = m & (gid < o.gid_hi)
+            tex_any = tex_any | jnp.any(m)
+
+        @pl.when(cov_any & tex_any)
+        def _():
+            color_ref[:] = _finalize_shade(
+                z_ref[:], gid, planes(), origin, ty, tx, params_ref,
+                objspecs, n_lights, tile_h, tile_w, tex_ref,
+            )
+
+        @pl.when(cov_any & jnp.logical_not(tex_any))
+        def _():
+            color_ref[:] = _finalize_shade(
+                z_ref[:], gid, planes(), origin, ty, tx, params_ref,
+                objspecs, n_lights, tile_h, tile_w, None,
+            )
 
     @pl.when(jnp.logical_not(cov_any))
     def _():
         color_ref[:] = jnp.zeros((tile_h, tile_w), jnp.uint32)
 
 
-def _finalize_shade(z, gid, planes, origin, ty, tx, params_ref, phong,
-                    n_lights, tile_h, tile_w, tex_ref=None, tex_dims=None):
+def _finalize_shade(z, gid, planes, origin, ty, tx, params_ref, objspecs,
+                    n_lights, tile_h, tile_w, tex_ref=None):
     """Tile finalize: shade the winning fragments (ops.shading.shade_planes
     semantics) and pack ARGB. Uncovered pixels keep the zero base color,
     exactly like shade()'s covered-select + pack in the XLA path.
 
-    With a texture (tex_ref + static tex_dims), the base color is the
-    MXU-sampled texel (shade()'s textured branch: perspective u/v from the
-    interpolated u/z, v/z, 1/z; Gouraud+texture = unlit texture)."""
+    Multi-object scenes resolve per-pixel object identity from the winner's
+    GLOBAL triangle id against the static gid ranges (a handful of vector
+    compares — the whole scene renders in ONE kernel, the TPU answer to the
+    reference's per-model work items, projekt.cpp:3873-3878), then select
+    that object's shading: textured objects take the MXU-sampled atlas
+    texel as base color (shade()'s textured branch: perspective u/v from
+    the interpolated u/z, v/z, 1/z; Gouraud+texture = unlit texture), and
+    phong objects take the per-pixel Blinn-Phong result."""
+    _, col_off, nrm_off, uv_off = _scene_fields(objspecs)
     covered = gid >= 0
     px, py = _pixel_coords(origin, ty, tx, tile_h, tile_w)
     cam = tuple(params_ref[i] for i in range(5))
@@ -452,22 +594,63 @@ def _finalize_shade(z, gid, planes, origin, ty, tx, params_ref, phong,
         tuple(params_ref[9 + 7 * k + 3 + c] for c in range(4))
         for k in range(n_lights)
     ]
-    if tex_ref is not None:
-        th, tw = tex_dims
-        inv_oz = F32(1.0) / planes[2]
-        u = jnp.where(covered, inv_oz * planes[0], F32(0.0))
-        v = jnp.where(covered, inv_oz * planes[1], F32(0.0))
-        tex_rgba = _sample_texture_rows(u, v, tex_ref, th, tw, tile_h,
-                                        tile_w)
-        col = [jnp.where(covered, tex_rgba[c], F32(0.0)) for c in range(4)]
-        nrm = planes[3:6] if phong else None
+    # Per-object pixel masks from the static gid ranges (trivially `covered`
+    # for single-object scenes; range endpoints shared with neighbors are
+    # elided).
+    multi = len(objspecs) > 1
+    last_hi = objspecs[-1].gid_hi
+    masks = []
+    for o in objspecs:
+        m = covered
+        if multi and o.gid_lo > 0:
+            m = m & (gid >= o.gid_lo)
+        if multi and o.gid_hi < last_hi:
+            m = m & (gid < o.gid_hi)
+        masks.append(m)
+
+    if col_off is not None:
+        col = list(planes[col_off:col_off + 4])
     else:
-        col = planes[:4]
-        nrm = planes[4:7] if phong else None
+        col = [jnp.zeros((tile_h, tile_w), F32) for _ in range(4)]
+    if tex_ref is not None:
+        tex_objs = [
+            (o, m) for o, m in zip(objspecs, masks) if o.tex is not None
+        ]
+        tex_mask = tex_objs[0][1]
+        for _, m in tex_objs[1:]:
+            tex_mask = tex_mask | m
+        inv_oz = F32(1.0) / planes[uv_off + 2]
+        u = jnp.where(tex_mask, inv_oz * planes[uv_off], F32(0.0))
+        v = jnp.where(tex_mask, inv_oz * planes[uv_off + 1], F32(0.0))
+        txi = tyi = None
+        for o, m in tex_objs:
+            v_off, th, tw = o.tex
+            txi_o = jnp.clip(
+                round_half_away(u * F32(tw - 1)).astype(jnp.int32), 0, tw - 1
+            )
+            tyi_o = jnp.clip(
+                round_half_away(v * F32(th - 1)).astype(jnp.int32), 0, th - 1
+            ) + v_off
+            if txi is None:
+                txi, tyi = txi_o, tyi_o
+            else:
+                txi = jnp.where(m, txi_o, txi)
+                tyi = jnp.where(m, tyi_o, tyi)
+        ah, aw = _atlas_dims(objspecs)
+        tex_rgba = _sample_texture_atlas(txi, tyi, tex_ref, ah, aw, tile_h,
+                                         tile_w)
+        col = [jnp.where(tex_mask, tex_rgba[c], col[c]) for c in range(4)]
+
+    any_phong = nrm_off is not None
+    nrm = planes[nrm_off:nrm_off + 3] if any_phong else None
     rgba = shade_planes(z, col, nrm, px, py, cam, ambient, light_p,
-                        light_i, phong, n_lights)
-    if phong:
-        rgba = [jnp.where(covered, rgba[c], col[c]) for c in range(4)]
+                        light_i, any_phong, n_lights)
+    if any_phong:
+        pm = None
+        for o, m in zip(objspecs, masks):
+            if o.phong:
+                pm = m if pm is None else (pm | m)
+        rgba = [jnp.where(pm, rgba[c], col[c]) for c in range(4)]
     return pack_argb_planes(rgba[0], rgba[1], rgba[2], rgba[3])
 
 
@@ -538,8 +721,9 @@ def _mask_guard(capacity, tiles_y, tiles_x):
         )
 
 
-def _tile_records(edges, bins):
-    recs = pack_records(edges)  # (T, 128)
+def _tile_records(edges, bins, recs=None):
+    if recs is None:
+        recs = pack_records(edges)  # (T, 128)
     tiles_y, tiles_x, capacity = bins.ids.shape
     safe_ids = jnp.maximum(bins.ids, 0)
     tile_recs = recs[safe_ids.reshape(-1)].reshape(
@@ -837,9 +1021,8 @@ def _init_shaded_tile(z_ref, gid_ref, scr_ref, n_fields, tile_h, tile_w):
 
 def _raster_kernel_tilelist_shaded(count_ref, origin_ref, params_ref,
                                    rec_ref, *rest, frame_width, fields,
-                                   phong, n_lights, tile_h, tile_w,
-                                   tex_dims=None):
-    if tex_dims is not None:
+                                   objspecs, n_lights, tile_h, tile_w):
+    if any(o.tex is not None for o in objspecs):
         tex_ref, z_ref, gid_ref, color_ref, scr_ref = rest
     else:
         tex_ref = None
@@ -862,19 +1045,30 @@ def _raster_kernel_tilelist_shaded(count_ref, origin_ref, params_ref,
 
     jax.lax.fori_loop(0, (n + CHUNK_T - 1) // CHUNK_T, chunk_body, 0)
     _write_tile_color(color_ref, z_ref, gid_ref, scr_ref, origin_ref, ty,
-                      tx, params_ref, phong, n_lights, tile_h, tile_w,
-                      fields, tex_ref, tex_dims)
+                      tx, params_ref, objspecs, n_lights, tile_h, tile_w,
+                      tex_ref)
 
 
-def _raster_kernel_queue_shaded(wi_tile, starts, counts, item_ext, origin,
-                                params, rec_ref, *rest, frame_width,
-                                fields, phong, n_lights, tiles_x, tile_h,
-                                tile_w, tex_dims=None):
+def _raster_kernel_queue_shaded(wi_tile, starts, counts, item_ext, lcounts,
+                                lmeta, origin, params, rec_ref, lrec_ref,
+                                *rest, frame_width, fields, objspecs,
+                                n_lights, tiles_x, tile_h, tile_w):
     """Shaded queue kernel. ``item_ext`` has ntiles+2 entries (last = maxw)
     so the dummy tail tile's item count is well-defined; the attribute
     scratch persists across a tile's consecutive work items (TPU grid steps
-    run sequentially on one core) and the tile's LAST item shades it."""
-    if tex_dims is not None:
+    run sequentially on one core) and the tile's LAST item shades it.
+
+    Large triangles (spanning more tiles than the entry expansion) live in
+    the compact ``lrec_ref`` side list, resident in VMEM for the whole
+    launch (one DMA — a per-tile pipelined stream measured ~2x the whole
+    frame in extra DMA stalls, and per-tile dynamic row assembly ~1 us per
+    row read, both worse than just walking the list). The tile's last item
+    folds the whole list with the gid-aware merge before finalize, ONLY on
+    tiles whose bbox count (``lcounts``, prefetched) is nonzero; ``lmeta``
+    = [live length]. The earlier broadcast side pass rasterized the list
+    over every tile in a second kernel and re-ran finalize (two
+    full-frame shades)."""
+    if any(o.tex is not None for o in objspecs):
         tex_ref, z_ref, gid_ref, color_ref, scr_ref = rest
     else:
         tex_ref = None
@@ -922,57 +1116,23 @@ def _raster_kernel_queue_shaded(wi_tile, starts, counts, item_ext, origin,
 
     @pl.when(ci == nwi - 1)
     def _():
+        @pl.when(lcounts[tile] > 0)
+        def _():
+            nl = lmeta[0]
+
+            def lbody(c, _):
+                lbase = c * CHUNK_T
+                rec = lrec_ref[pl.ds(lbase, CHUNK_T), :]
+                best = _chunk_best(rec, -lbase, nl - lbase, yf, xc, w_f,
+                                   fields, tile_h, tile_w)
+                _merge_chunk_shaded_bygid(best, z_ref, gid_ref, scr_ref)
+                return 0
+
+            jax.lax.fori_loop(0, (nl + CHUNK_T - 1) // CHUNK_T, lbody, 0)
+
         _write_tile_color(color_ref, z_ref, gid_ref, scr_ref, origin, ty,
-                          tx, params, phong, n_lights, tile_h, tile_w,
-                          fields, tex_ref, tex_dims)
-
-
-def _raster_kernel_bcast_shaded(count_ref, origin_ref, params_ref, rec_ref,
-                                *rest, frame_width, fields, phong,
-                                n_lights, tile_h, tile_w, tex_dims=None):
-    if tex_dims is not None:
-        tex_ref, z_ref, gid_ref, color_ref, scr_ref = rest
-    else:
-        tex_ref = None
-        z_ref, gid_ref, color_ref, scr_ref = rest
-    ty = pl.program_id(0)
-    tx = pl.program_id(1)
-    yf, xc = _tile_coords_rw(origin_ref, ty, tx, tile_h, tile_w)
-    _init_shaded_tile(z_ref, gid_ref, scr_ref, len(fields), tile_h, tile_w)
-    n = count_ref[0]
-    w_f = F32(frame_width)
-
-    def chunk_body(c, _):
-        base = c * CHUNK_T
-        rec = rec_ref[pl.ds(base, CHUNK_T), :]
-        best = _chunk_best(rec, -base, n - base, yf, xc, w_f, fields,
-                           tile_h, tile_w)
-        _merge_chunk_shaded(best, z_ref, gid_ref, scr_ref)
-        return 0
-
-    jax.lax.fori_loop(0, (n + CHUNK_T - 1) // CHUNK_T, chunk_body, 0)
-    _write_tile_color(color_ref, z_ref, gid_ref, scr_ref, origin_ref, ty,
-                      tx, params_ref, phong, n_lights, tile_h, tile_w,
-                      fields, tex_ref, tex_dims)
-
-
-def _merge_shaded_by_gid(a, b):
-    """(z, gid, color) merge with the submission-order tie rule. Shading
-    commutes with this merge: a fragment's color is a function of its own
-    attributes, so selecting shaded colors by (z, gid) equals shading the
-    (z, gid)-selected winner."""
-    z_a, gid_a, col_a = a
-    z_b, gid_b, col_b = b
-    cov_b = gid_b >= 0
-    win_b = cov_b & (
-        (z_b > z_a)
-        | ((z_b == z_a) & ((gid_a < 0) | (gid_b < gid_a)))
-    )
-    return (
-        jnp.where(win_b, z_b, z_a),
-        jnp.where(win_b, gid_b, gid_a),
-        jnp.where(win_b, col_b, col_a),
-    )
+                          tx, params, objspecs, n_lights, tile_h, tile_w,
+                          tex_ref)
 
 
 def rasterize_pallas_shaded(
@@ -991,14 +1151,53 @@ def rasterize_pallas_shaded(
     tile_h: int | None = None,
     texture=None,
 ):
-    """Fully-fused fast path: raster + interpolate + shade + ARGB pack in
-    one kernel -> (covered, z(H,W), color_u32(H,W), stats). The G-buffer
-    never exists in HBM.
+    """Single-object fused fast path (see rasterize_scene_shaded).
 
     ``texture`` (u32 ARGB, 'scalar'/'nearest' semantics only — the caller
     gates other modes to the deferred path) enables in-kernel MXU texture
     sampling; it must satisfy the MAX_FUSED_TEX_* limits."""
+    if texture is not None:
+        th, tw = int(texture.shape[0]), int(texture.shape[1])
+        atlas, _ = pack_texture_atlas([texture])
+        tex = (0, th, tw)
+    else:
+        atlas, tex = None, None
+    objspecs = (ObjSpec(0, edges.num_triangles, bool(phong), tex),)
+    return rasterize_scene_shaded(
+        edges, objspecs, transform, lights, height, width, capacity,
+        frame_height, frame_width, row0, col0, strategy, tile_h, atlas,
+    )
+
+
+def rasterize_scene_shaded(
+    edges: EdgeTable,
+    objspecs: tuple,
+    transform: ProjectiveTransform,
+    lights: LightData,
+    height: int,
+    width: int,
+    capacity: int | None = None,
+    frame_height: int | None = None,
+    frame_width: int | None = None,
+    row0=0,
+    col0=0,
+    strategy: str = "auto",
+    tile_h: int | None = None,
+    atlas=None,
+):
+    """Fully-fused fast path: raster + interpolate + shade + ARGB pack in
+    one kernel -> (covered, z(H,W), color_u32(H,W), stats). The G-buffer
+    never exists in HBM.
+
+    ``edges`` is the whole scene's concatenated edge table
+    (geometry.vertex.concat_edge_tables) and ``objspecs`` a static tuple of
+    ObjSpec — a MULTI-OBJECT scene renders in one kernel launch (one fixed
+    pallas dispatch per frame instead of one per object; the reference paid
+    one work-queue drain per model, projekt.cpp:3873-3878). ``atlas`` is
+    the packed scene texture atlas (pack_texture_atlas) when any object is
+    textured; it must satisfy the MAX_FUSED_TEX_* limits atlas-wide."""
     T = edges.num_triangles
+    assert objspecs[-1].gid_hi == T, "objspecs must cover the edge table"
     if frame_height is None:
         frame_height = height
     if frame_width is None:
@@ -1008,18 +1207,17 @@ def rasterize_pallas_shaded(
     if tile_h is None:
         tile_h = _pick_tile_h(T)
 
-    if texture is not None:
-        tex_dims = (int(texture.shape[0]), int(texture.shape[1]))
+    fields, _, _, _ = _scene_fields(objspecs)
+    if atlas is not None:
+        ah, aw = _atlas_dims(objspecs)
         assert (
-            max(tex_dims) <= MAX_FUSED_TEX_DIM
-            and tex_dims[0] * tex_dims[1] <= MAX_FUSED_TEX_PIXELS
-        ), "texture too large for the fused path"
-        tex_packed = pack_texture_mxu(texture)
-        fields = _UV_FIELDS + (_NRM_FIELDS if phong else ())
+            max(ah, aw) <= MAX_FUSED_TEX_DIM
+            and ah * aw <= MAX_FUSED_TEX_PIXELS
+        ), "texture atlas too large for the fused path"
+        tex_packed = atlas
     else:
-        tex_dims = None
+        assert all(o.tex is None for o in objspecs)
         tex_packed = None
-        fields = _COL_FIELDS + (_NRM_FIELDS if phong else ())
     n_lights = lights.count
     params = shade_params(transform, lights)
     origin = jnp.stack(
@@ -1041,8 +1239,8 @@ def rasterize_pallas_shaded(
         tile_recs = _tile_records(edges, bins)
         kernel = functools.partial(
             _raster_kernel_tilelist_shaded, frame_width=frame_width,
-            fields=fields, phong=phong, n_lights=n_lights, tile_h=tile_h,
-            tile_w=TILE_W, tex_dims=tex_dims,
+            fields=fields, objspecs=objspecs, n_lights=n_lights,
+            tile_h=tile_h, tile_w=TILE_W,
         )
         in_specs = [
             pl.BlockSpec(memory_space=pltpu.SMEM),  # counts
@@ -1058,7 +1256,7 @@ def rasterize_pallas_shaded(
             bins.counts.reshape(-1).astype(jnp.int32), origin, params,
             tile_recs,
         ]
-        if tex_dims is not None:
+        if tex_packed is not None:
             in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
             operands.append(tex_packed)
         z, gid, color = pl.pallas_call(
@@ -1078,42 +1276,67 @@ def rasterize_pallas_shaded(
         stats = {"bins_dropped": bins.n_dropped}
     elif strategy == "sorted":
         recs = pack_records(edges)
+        expansion, budget_factor = _queue_expansion(tile_h, T)
         qbins = bin_triangles_queue(
             edges, height, width, tile_h, TILE_W, QUEUE_BLK,
+            expansion=expansion, budget_factor=budget_factor,
             frame_height=frame_height, frame_width=frame_width,
             row0=row0, col0=col0,
         )
         rec_stream, n_blocks = _queue_stream(edges, qbins, recs)
         maxw = qbins.wi_tile.shape[0]
+        ntiles = tiles_y * tiles_x
         item_ext = jnp.concatenate(
             [qbins.item_start, jnp.full((1,), maxw, jnp.int32)]
         )
+
+        # Large triangles: the compact side list rides along resident in
+        # VMEM; per-tile bbox counts gate the in-kernel walk so only tiles
+        # a large triangle touches pay for it. Count construction is
+        # skipped at runtime when nothing overflowed the entry expansion.
+        lcounts = jax.lax.cond(
+            qbins.n_large > 0,
+            lambda: count_subset_per_tile(
+                qbins.large_ids, edges, height, width, tile_h, TILE_W,
+                frame_height, frame_width, row0, col0,
+            ),
+            lambda: jnp.zeros((ntiles,), jnp.int32),
+        )
+        lcounts_ext = jnp.concatenate(
+            [lcounts, jnp.zeros((1,), jnp.int32)]
+        )
+        lmeta = jnp.asarray(qbins.n_large, jnp.int32).reshape(1)
+        lshared = _shared_records(recs, qbins.large_ids)
+
         kernel = functools.partial(
             _raster_kernel_queue_shaded, frame_width=frame_width,
-            fields=fields, phong=phong, n_lights=n_lights, tiles_x=tiles_x,
-            tile_h=tile_h, tile_w=TILE_W, tex_dims=tex_dims,
+            fields=fields, objspecs=objspecs, n_lights=n_lights,
+            tiles_x=tiles_x, tile_h=tile_h, tile_w=TILE_W,
         )
         rec_index, out_index, _ = _queue_index_maps(tiles_x, n_blocks)
 
-        def rec_index6(g, wi, st, cn, it, org, par, _f=rec_index):
+        def rec_index8(g, wi, st, cn, it, lc, lm, org, par, _f=rec_index):
             return _f(g, wi, st, cn, it, org)
 
-        def out_index6(g, wi, st, cn, it, org, par, _f=out_index):
+        def out_index8(g, wi, st, cn, it, lc, lm, org, par, _f=out_index):
             return _f(g, wi, st, cn, it, org)
 
-        in_specs = [pl.BlockSpec((1, QUEUE_BLK, REC_LANES), rec_index6)]
-        operands = [rec_stream]
-        if tex_dims is not None:
+        in_specs = [
+            pl.BlockSpec((1, QUEUE_BLK, REC_LANES), rec_index8),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # resident side list
+        ]
+        operands = [rec_stream, lshared]
+        if tex_packed is not None:
             in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
             operands.append(tex_packed)
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=6,
+            num_scalar_prefetch=8,
             grid=(maxw,),
             in_specs=in_specs,
             out_specs=[
-                pl.BlockSpec((tile_h, TILE_W), out_index6),
-                pl.BlockSpec((tile_h, TILE_W), out_index6),
-                pl.BlockSpec((tile_h, TILE_W), out_index6),
+                pl.BlockSpec((tile_h, TILE_W), out_index8),
+                pl.BlockSpec((tile_h, TILE_W), out_index8),
+                pl.BlockSpec((tile_h, TILE_W), out_index8),
             ],
             scratch_shapes=scratch,
         )
@@ -1125,58 +1348,12 @@ def rasterize_pallas_shaded(
                 (tiles_y + 1) * tile_h, tiles_x * TILE_W
             ),
         )(
-            qbins.wi_tile, qbins.starts, qbins.counts, item_ext, origin,
-            params, *operands,
+            qbins.wi_tile, qbins.starts, qbins.counts, item_ext,
+            lcounts_ext, lmeta, origin, params, *operands,
         )
         z = z[:height, :width]
         gid = gid[:height, :width]
         color = color[:height, :width]
-
-        def with_large(args):
-            cap = qbins.large_ids.shape[0]
-            shared = _shared_records(recs, qbins.large_ids)
-            kernel_l = functools.partial(
-                _raster_kernel_bcast_shaded, frame_width=frame_width,
-                fields=fields, phong=phong, n_lights=n_lights,
-                tile_h=tile_h, tile_w=TILE_W, tex_dims=tex_dims,
-            )
-            in_specs_l = [
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(
-                    (cap, REC_LANES), lambda ty, tx: (0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-            ]
-            operands_l = [
-                jnp.asarray(qbins.n_large, jnp.int32).reshape(1), origin,
-                params, shared,
-            ]
-            if tex_dims is not None:
-                in_specs_l.append(pl.BlockSpec(memory_space=pltpu.VMEM))
-                operands_l.append(tex_packed)
-            z_l, gid_l, col_l = pl.pallas_call(
-                kernel_l,
-                interpret=interpret,
-                grid=(tiles_y, tiles_x),
-                in_specs=in_specs_l,
-                out_specs=_shaded_out_specs_2d(tile_h, TILE_W),
-                out_shape=_shaded_out_shapes(
-                    tiles_y * tile_h, tiles_x * TILE_W
-                ),
-                scratch_shapes=scratch,
-            )(*operands_l)
-            return _merge_shaded_by_gid(
-                args,
-                (z_l[:height, :width], gid_l[:height, :width],
-                 col_l[:height, :width]),
-            )
-
-        z, gid, color = jax.lax.cond(
-            qbins.n_large > 0, with_large, lambda args: args,
-            (z, gid, color),
-        )
         stats = {"bins_dropped": qbins.n_dropped}
     else:
         raise ValueError(f"unknown strategy: {strategy}")
@@ -1236,8 +1413,10 @@ def rasterize_pallas(
         stats = {"bins_dropped": bins.n_dropped}
     elif strategy == "sorted":
         recs = pack_records(edges)
+        expansion, budget_factor = _queue_expansion(tile_h, T)
         qbins = bin_triangles_queue(
             edges, height, width, tile_h, TILE_W, QUEUE_BLK,
+            expansion=expansion, budget_factor=budget_factor,
             frame_height=frame_height, frame_width=frame_width,
             row0=row0, col0=col0,
         )

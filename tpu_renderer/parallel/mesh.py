@@ -45,7 +45,7 @@ from ..core.types import (
     ProjectiveTransform,
     RenderObject,
 )
-from ..engine.renderer import render_object
+from ..engine.renderer import render_object, render_scene
 from ..geometry.vertex import setup_triangles
 from ..ops.shading import shade
 
@@ -110,13 +110,12 @@ def render_scene_tiled(
             color=jnp.full((lh, lw), jnp.uint32(clear_color)),
             depth=jnp.full((lh, lw), DEPTH_CLEAR, F32),
         )
-        for obj, cfg in zip(objs, cfgs):
-            fb = render_object(
-                fb, obj, transform, lights, cfg, backend,
-                frame_height=height, frame_width=width,
-                row0=row0, col0=col0,
-            )
-        return fb
+        # render_scene batches the whole scene into ONE kernel per device
+        # when every object is fused-path-eligible (engine.renderer).
+        return render_scene(
+            fb, list(zip(objs, cfgs)), transform, lights, backend,
+            frame_height=height, frame_width=width, row0=row0, col0=col0,
+        )
 
     fn = shard_map(
         per_device,
