@@ -293,7 +293,7 @@ def bin_triangles_queue(
     tile_w: int,
     blk: int,
     expansion: int = 8,
-    budget_factor: int = 2,
+    budget_factor: float = 2,
     large_capacity: int = 2048,
     frame_height: int | None = None,
     frame_width: int | None = None,
@@ -360,7 +360,7 @@ def bin_triangles_queue(
     # Static entry budget: the sorted prefix [0, EB) is kept verbatim as
     # the record layout; real entries past it (sentinel-tile entries sort
     # last, so the prefix is exactly the first EB real entries) drop.
-    entry_budget = -(-(budget_factor * max(T, blk)) // blk) * blk
+    entry_budget = int(-(-(budget_factor * max(T, blk)) // blk)) * blk
     entry_budget = min(entry_budget, -(-(T * expansion) // blk) * blk)
     starts = jnp.minimum(starts_full, entry_budget)  # (ntiles + 1,) clipped
     keep_t = starts[1:] - starts[:-1]

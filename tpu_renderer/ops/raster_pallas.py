@@ -58,6 +58,27 @@ every indexed fetch is one contiguous row — TPU row-gathers cost per-row,
 not per-byte; measured ~9 ns/row). Coverage/z/attribute formulas are the
 closed forms of ops.spans, so results match the pure-JAX reference path
 exactly (modulo backend FMA rounding, golden divergence #8).
+
+On dense fine-tile grids (tile_h = 8, the multi-100k-triangle regime) the
+shaded queue kernel splits each block's work in two:
+
+- Stage A (_stage_a_fill): active-edge ordering + span setup per
+  (entry, tile-row) — everything that depends on the row but not the
+  pixel — computed for the WHOLE 128-entry record block at once with
+  entries on the 128-lane axis (one in-kernel transpose of the block).
+  Interleaved per 8-entry chunk this same math ran on 8-lane-wide (C, R)
+  vectors (~6% VPU utilization) and was ~80% of kernel time; hoisting it
+  to XLA outside the kernel was also tried and LOST (HBM-bound
+  transposes/materialization cost more than the whole kernel).
+- Stage B (_chunk_best_spanex): the chunk loop reads the span-expanded
+  VMEM scratch — per-row [minx, maxx, xoff, left values, increments] —
+  and keeps only the per-PIXEL work: k = xoff + (xc - minx),
+  attr = left + k * inc, and the depth fold. Same formulas, same op
+  order, so the split is numerically invisible.
+
+Sparse 32-row grids and the G-buffer (textured-deferred) kernels keep the
+interleaved narrow form — their work items mostly hold a handful of
+entries, where a full-block stage A would be waste.
 """
 
 from __future__ import annotations
@@ -100,9 +121,18 @@ def _queue_expansion(tile_h: int, num_triangles: int):
     triangles (a few hundred px) are common there and the side-list walk
     costs ceil(n_large/8) chunk evals on EVERY tile it overlaps; the wider
     expansion keeps them in the per-tile stream at a few extra sort
-    entries. Dense scenes (8-row tiles) have tiny triangles; 8 suffices."""
+    entries. Dense scenes (8-row tiles) have tiny triangles; past ~65k
+    the bbox of a typical triangle spans <= 2 fine tiles, and the entry
+    budget — which sets the length of the per-frame record GATHER, the
+    single most expensive XLA stage (~35 ns/row of random HBM access) —
+    tightens to 1.5*T: real entries on a closed mesh run ~1.2 per
+    *visible* triangle (~0.6*T after backface culling), so 1.5*T holds a
+    2x-plus margin even for meshes with no culled faces. Overflow is
+    counted in stats['bins_dropped'], never silent."""
     if tile_h >= 32 and num_triangles <= 16384:
         return 32, 4
+    if tile_h <= 8 and num_triangles > 65536:
+        return 4, 1.5
     return 8, 2
 # Auto-switch to 8-row tiles above this triangle count: past ~8k triangles
 # (at 1080p) triangles are small enough that 32-row tiles waste 4x fragment
@@ -173,6 +203,71 @@ def pack_records(edges: EdgeTable) -> jnp.ndarray:
     cols.append(jnp.arange(T, dtype=jnp.int32).astype(F32))  # GID_LANE
     rec = jnp.stack(cols, axis=1)  # (T, 85)
     return jnp.pad(rec, ((0, 0), (0, REC_LANES - rec.shape[1])))
+
+
+_PACK_T_BLK = 512  # triangles per grid step of the pack-transpose kernel
+
+
+def pack_records_rowmajor(edges: EdgeTable) -> jnp.ndarray:
+    """(Tp, 128) packed records with a GUARANTEED row-major layout.
+
+    Same values as pack_records (rows past T are zero padding), different
+    construction: the columns stack TRANSPOSED — (128, T), minor dim T, the
+    one layout XLA keeps dense for per-lane producers — and a trivial
+    Pallas kernel transposes blocks to (Tp, 128). Pallas outputs always
+    carry the standard (sublane, lane) layout, which pins the table
+    row-major for the sorted strategy's per-entry row gather. Left to
+    itself, XLA either fuses the 85-column stack into the gather or
+    materializes it column-major; both make each row fetch touch ~85
+    strided locations (measured 35-47 ns/row vs ~13 ns/row from a
+    row-major table — at a 1.5M-entry stream that difference is ~40
+    ms/frame, the single largest XLA cost at multi-M triangles)."""
+    T = edges.num_triangles
+    cols = []
+    for e in range(3):
+        cols += [
+            edges.valid[:, e].astype(F32),
+            edges.ymin[:, e],
+            edges.ymax[:, e],
+            edges.x0[:, e],
+            edges.xg[:, e],
+            edges.z0[:, e],
+            edges.zg[:, e],
+            edges.oz0[:, e],
+            edges.ozg[:, e],
+            edges.u0[:, e],
+            edges.ug[:, e],
+            edges.v0[:, e],
+            edges.vg[:, e],
+            edges.left[:, e],
+        ]
+        cols += [edges.col0[:, e, c] for c in range(4)]
+        cols += [edges.colg[:, e, c] for c in range(4)]
+        cols += [edges.n0[:, e, c] for c in range(3)]
+        cols += [edges.ng[:, e, c] for c in range(3)]
+    cols.append(jnp.arange(T, dtype=jnp.int32).astype(F32))  # GID_LANE
+    rec_t = jnp.stack(cols, axis=0)  # (85, T) dense
+    rec_t = jnp.pad(
+        rec_t,
+        ((0, REC_LANES - rec_t.shape[0]), (0, -T % _PACK_T_BLK)),
+    )  # (128, Tp)
+    tp = rec_t.shape[1]
+
+    def kern(x_ref, o_ref):
+        o_ref[:] = jnp.transpose(x_ref[:])
+
+    return pl.pallas_call(
+        kern,
+        interpret=jax.default_backend() != "tpu",
+        grid=(tp // _PACK_T_BLK,),
+        in_specs=[
+            pl.BlockSpec((REC_LANES, _PACK_T_BLK), lambda i: (0, i)),
+        ],
+        out_specs=pl.BlockSpec(
+            (_PACK_T_BLK, REC_LANES), lambda i: (i, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((tp, REC_LANES), F32),
+    )(rec_t)
 
 
 def shade_params(transform: ProjectiveTransform, lights: LightData):
@@ -432,17 +527,185 @@ def _chunk_best(rec, lo_rel, n_rel, yf, xc, w_f, fields, tile_h, tile_w):
 
     # Fold the chunk: earlier (smaller slot == smaller id) wins ties.
     gids = rec[:, GID_LANE][:, None, None].astype(jnp.int32)  # (C, 1, 1)
+    return _fold_chunk(inspan, zfrag, frags, gids, len(fields), tile_h,
+                       tile_w)
+
+
+def _fold_chunk(inspan, zfrag, frags, gids, n_fields, tile_h, tile_w):
+    """Fold CHUNK_T fragment layers best-per-pixel (strict greater z wins;
+    earlier slot — smaller id in a sorted stream — keeps ties, the
+    reference's first-writer rule, projekt.cpp:495)."""
     best_z = jnp.full((tile_h, tile_w), DEPTH_CLEAR, F32)
     best_i = jnp.full((tile_h, tile_w), jnp.int32(-1))
-    best_a = [jnp.zeros((tile_h, tile_w), F32) for _ in fields]
+    best_a = [jnp.zeros((tile_h, tile_w), F32) for _ in range(n_fields)]
     for c in range(CHUNK_T):
         zc = jnp.where(inspan[c], zfrag[c], DEPTH_CLEAR)
         win = zc > best_z
         best_z = jnp.where(win, zc, best_z)
         best_i = jnp.where(win, gids[c, 0, 0], best_i)
-        for i in range(len(fields)):
+        for i in range(n_fields):
             best_a[i] = jnp.where(win, frags[i][c], best_a[i])
     return best_z, best_i, best_a
+
+
+# ---------------------------------------------------------------------------
+# Span-expanded stream (stage A on XLA, stage B in the kernel)
+# ---------------------------------------------------------------------------
+
+# Per-(entry, tile-row) span quantities preceding the attribute pairs:
+# minx, maxx (span_ok folded in as -BIG), xoff, zl, zinc.
+SPANEX_QBASE = 5
+
+
+def _spanex_layout(n_fields, tile_h):
+    """(quantity count, gid lane, padded lane count) of a span record."""
+    q = SPANEX_QBASE + 2 * n_fields
+    gid_lane = q * tile_h
+    lanes = -(-(gid_lane + 1) // 128) * 128
+    return q, gid_lane, lanes
+
+
+def _stage_a_fill(scr_ref, rt, yf_col, ent_lo, ent_hi, w_f, fields,
+                  tile_h):
+    """Wide in-kernel stage A: span setup for ALL entries of one
+    transposed record block at once — active-edge ordering, span bounds,
+    left values and per-pixel increments (the ops.spans closed forms,
+    identical op order) — with entries on the 128-lane axis. The narrow
+    per-chunk form computed the same on (8, R) vectors at ~6% lane
+    utilization and was ~80% of kernel time in dense scenes (measured
+    ~25 of ~45 ms at 250k triangles); hoisting it to XLA instead was
+    tried and LOST (+25 ms of HBM-bound transposes/materialization at
+    250k — see git history), so the wide form lives in the kernel where
+    the block is already VMEM-resident.
+
+    rt: (REC_LANES, E) transposed packed-record block; yf_col: (tile_h, 1)
+    f32 global frame rows of the target tile. Writes scr_ref (E, L) in
+    _chunk_best_spanex's lane layout: lane q*tile_h + r = quantity q at
+    row r, quantities [minx, maxx', xoff, zl, zinc] + [al, ainc per
+    field], gid on lane q_total*tile_h; maxx' = -BIG on rows with no span
+    and on entries outside [ent_lo, ent_hi) (neighbor tiles' entries in
+    boundary blocks)."""
+    e_n = rt.shape[1]
+
+    def field(e, j):
+        return rt[e * EDGE_STRIDE + j, :][None, :]  # (1, E)
+
+    yf = yf_col  # (R, 1)
+
+    act, xs, dys, xgs, lefts = [], [], [], [], []
+    for e in range(3):
+        valid_e = field(e, _F_VALID) > F32(0.5)
+        ymin_e, ymax_e = field(e, _F_YMIN), field(e, _F_YMAX)
+        dy = yf - ymin_e
+        act.append(valid_e & (ymin_e <= yf) & (yf < ymax_e))
+        xs.append(field(e, _F_X0) + dy * field(e, _F_XG))
+        dys.append(dy)
+        xgs.append(jnp.broadcast_to(field(e, _F_XG), dy.shape))
+        lefts.append(jnp.broadcast_to(field(e, _F_LEFT), dy.shape))
+
+    # AET ordering (projekt.cpp:212-216): lexicographic (x, xg, left, e) —
+    # the same comparator as _chunk_best / ops.spans._edge_order.
+    big = F32(_BIG)
+    kx = [jnp.where(act[e], xs[e], big) for e in range(3)]
+    kg = [jnp.where(act[e], xgs[e], big) for e in range(3)]
+    kl = [jnp.where(act[e], lefts[e], big) for e in range(3)]
+
+    def less(i, j):
+        return (kx[i] < kx[j]) | (
+            (kx[i] == kx[j])
+            & (
+                (kg[i] < kg[j])
+                | (
+                    (kg[i] == kg[j])
+                    & ((kl[i] < kl[j]) | ((kl[i] == kl[j]) & (i < j)))
+                )
+            )
+        )
+
+    rank = []
+    for i in range(3):
+        cnt = None
+        for j in range(3):
+            if j == i:
+                continue
+            t = less(j, i).astype(jnp.int32)
+            cnt = t if cnt is None else cnt + t
+        rank.append(cnt)
+
+    def pick(vals, r):
+        return jnp.where(
+            rank[0] == r, vals[0],
+            jnp.where(rank[1] == r, vals[1], vals[2]),
+        )
+
+    def attr_lr(j0, jg):
+        vals = [field(e, j0) + dys[e] * field(e, jg) for e in range(3)]
+        return pick(vals, 0), pick(vals, 1)
+
+    xl, xr = pick(xs, 0), pick(xs, 1)  # (R, E)
+    nact = (
+        act[0].astype(jnp.int32)
+        + act[1].astype(jnp.int32)
+        + act[2].astype(jnp.int32)
+    )
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, e_n), 1)
+    span_ok = (nact >= 2) & (lane >= ent_lo) & (lane < ent_hi)
+
+    # Span setup (projekt.cpp:306-421, closed form — identical op order to
+    # _chunk_best so the restructure is bit-invisible).
+    xd = round_half_away(xr - xl)
+    nz = xd != F32(0.0)
+    xoff = jnp.where(xl < F32(0.0), -xl, F32(0.0))
+    lx = jnp.where(
+        xl < F32(0.0), F32(0.0),
+        jnp.where(xl >= w_f, w_f - F32(1.0), xl),
+    )
+    rx = jnp.where(
+        xr < F32(0.0), F32(0.0),
+        jnp.where(xr >= w_f, w_f - F32(1.0), xr),
+    )
+    minx = jnp.minimum(round_half_away(lx), w_f - F32(1.0))
+    maxx = jnp.minimum(round_half_away(rx), w_f - F32(1.0))
+    maxx = jnp.where(span_ok, maxx, F32(-_BIG))  # coverage gate
+
+    zl, zr = attr_lr(_F_Z0, _F_ZG)
+    quants = [minx, maxx, xoff, zl,
+              jnp.where(nz, (zr - zl) / xd, F32(0.0))]
+    for j0, jg in fields:
+        al, ar = attr_lr(j0, jg)
+        quants += [al, jnp.where(nz, (ar - al) / xd, F32(0.0))]
+
+    _, gid_lane, _ = _spanex_layout(len(fields), tile_h)
+    for i, q in enumerate(quants):
+        scr_ref[:, i * tile_h:(i + 1) * tile_h] = jnp.transpose(q)
+    scr_ref[:, gid_lane:gid_lane + 1] = jnp.transpose(
+        rt[GID_LANE:GID_LANE + 1, :]
+    )
+
+
+def _chunk_best_spanex(rec, xc, n_fields, tile_h, tile_w):
+    """Stage B fold over CHUNK_T span-expanded records (_stage_a_fill
+    layout): per fragment only k = xoff + (xc - minx), z/attr = left +
+    k * inc, and the best-per-pixel fold remain. Entry masking (block
+    boundaries, missing spans) is already folded into maxx by stage A."""
+
+    def q(i):
+        return rec[:, i * tile_h:(i + 1) * tile_h]  # (C, R)
+
+    minx, maxx, xoff, zl, zinc = (q(i) for i in range(SPANEX_QBASE))
+
+    m3 = lambda a: a[:, :, None]  # (C, R) -> (C, R, 1)
+    inspan = (xc >= m3(minx)) & (xc <= m3(maxx))  # (C, R, W)
+    k = m3(xoff) + (xc - m3(minx))
+    zfrag = m3(zl) + k * m3(zinc)
+    frags = [
+        m3(q(SPANEX_QBASE + 2 * i)) + k * m3(q(SPANEX_QBASE + 2 * i + 1))
+        for i in range(n_fields)
+    ]
+    _, gid_lane, _ = _spanex_layout(n_fields, tile_h)
+    gids = rec[:, gid_lane][:, None, None].astype(jnp.int32)
+    return _fold_chunk(inspan, zfrag, frags, gids, n_fields, tile_h,
+                       tile_w)
 
 
 def _merge_chunk_gbuf(best, gid_ref, gbuf_ref):
@@ -710,8 +973,8 @@ def _raster_kernel_tilelist(count_ref, origin_ref, rec_ref, gid_ref,
     jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
 
 
-def _mask_guard(capacity, tiles_y, tiles_x):
-    block_bytes = capacity * REC_LANES * 4
+def _mask_guard(capacity, tiles_y, tiles_x, lanes=REC_LANES):
+    block_bytes = capacity * lanes * 4
     total_bytes = tiles_y * tiles_x * block_bytes
     if block_bytes > _MASK_BLOCK_VMEM_CAP or total_bytes > _MASK_TOTAL_HBM_CAP:
         raise ValueError(
@@ -835,22 +1098,23 @@ def _raster_kernel_queue(wi_tile, starts, counts, item_start, origin,
     jax.lax.fori_loop(sub_lo, sub_hi, sub_body, 0)
 
 
-def _queue_stream(edges, qbins, recs):
+def _queue_stream(edges, qbins, recs, blk=QUEUE_BLK):
     """The sorted record stream: ONE row gather over the entry prefix
-    (~budget_factor * T rows at ~9 ns/row)."""
+    (use pack_records_rowmajor as the table at large T — the gather costs
+    per ROW, and its cost triples when the table layout is not row-major)."""
     if recs is None:
         recs = pack_records(edges)
     rec_stream = recs[qbins.sorted_tri]
-    n_blocks = rec_stream.shape[0] // QUEUE_BLK
-    return rec_stream.reshape(n_blocks, QUEUE_BLK, REC_LANES), n_blocks
+    n_blocks = rec_stream.shape[0] // blk
+    return rec_stream.reshape(n_blocks, blk, REC_LANES), n_blocks
 
 
-def _queue_index_maps(tiles_x, n_blocks):
+def _queue_index_maps(tiles_x, n_blocks, blk=QUEUE_BLK):
     def rec_index(g, wi_tile, starts, counts, item_start, org,
-                  _nb=n_blocks):
+                  _nb=n_blocks, _blk=blk):
         tile = wi_tile[g]
-        blk = starts[tile] // QUEUE_BLK + (g - item_start[tile])
-        return (jnp.clip(blk, 0, _nb - 1), 0, 0)
+        b = starts[tile] // _blk + (g - item_start[tile])
+        return (jnp.clip(b, 0, _nb - 1), 0, 0)
 
     def out_index(g, wi_tile, starts, counts, item_start, org,
                   _tx=tiles_x):
@@ -1052,11 +1316,20 @@ def _raster_kernel_tilelist_shaded(count_ref, origin_ref, params_ref,
 def _raster_kernel_queue_shaded(wi_tile, starts, counts, item_ext, lcounts,
                                 lmeta, origin, params, rec_ref, lrec_ref,
                                 *rest, frame_width, fields, objspecs,
-                                n_lights, tiles_x, tile_h, tile_w):
+                                n_lights, tiles_x, tile_h, tile_w,
+                                blk=QUEUE_BLK, wide=False):
     """Shaded queue kernel. ``item_ext`` has ntiles+2 entries (last = maxw)
     so the dummy tail tile's item count is well-defined; the attribute
     scratch persists across a tile's consecutive work items (TPU grid steps
     run sequentially on one core) and the tile's LAST item shades it.
+
+    ``wide`` (dense fine-tile grids): each work item first runs the wide
+    stage A over its whole record block (_stage_a_fill into the span
+    scratch, entries on lanes), then the chunk loop does per-pixel work
+    only (_chunk_best_spanex). The narrow form (sparse 32-row grids, where
+    most work items see a handful of entries and a full-block stage A
+    would be waste) interleaves span setup per 8-entry chunk
+    (_chunk_best).
 
     Large triangles (spanning more tiles than the entry expansion) live in
     the compact ``lrec_ref`` side list, resident in VMEM for the whole
@@ -1068,6 +1341,9 @@ def _raster_kernel_queue_shaded(wi_tile, starts, counts, item_ext, lcounts,
     = [live length]. The earlier broadcast side pass rasterized the list
     over every tile in a second kernel and re-ran finalize (two
     full-frame shades)."""
+    if wide:
+        spanex_ref = rest[-1]
+        rest = rest[:-1]
     if any(o.tex is not None for o in objspecs):
         tex_ref, z_ref, gid_ref, color_ref, scr_ref = rest
     else:
@@ -1079,7 +1355,7 @@ def _raster_kernel_queue_shaded(wi_tile, starts, counts, item_ext, lcounts,
     tx = tile - ty * tiles_x
     ci = g - item_ext[tile]
     s = starts[tile]
-    base = (s // QUEUE_BLK + ci) * QUEUE_BLK
+    base = (s // blk + ci) * blk
     head = s - base
     n = (s + counts[tile]) - base
 
@@ -1091,19 +1367,37 @@ def _raster_kernel_queue_shaded(wi_tile, starts, counts, item_ext, lcounts,
     yf, xc = _tile_coords_rw(origin, ty, tx, tile_h, tile_w)
     w_f = F32(frame_width)
 
-    def sub_body(sub, _):
-        rec = rec_ref[0, pl.ds(sub * CHUNK_T, CHUNK_T), :]
-        best = _chunk_best(
-            rec, head - sub * CHUNK_T, n - sub * CHUNK_T, yf, xc, w_f,
-            fields, tile_h, tile_w,
-        )
-        _merge_chunk_shaded(best, z_ref, gid_ref, scr_ref)
-        return 0
+    if wide:
+        @pl.when(n > head)
+        def _():
+            rt = jnp.transpose(rec_ref[0])  # (REC_LANES, blk)
+            yf_col = (
+                origin[0] + ty * tile_h
+                + jax.lax.broadcasted_iota(jnp.int32, (tile_h, 1), 0)
+            ).astype(F32)
+            _stage_a_fill(spanex_ref, rt, yf_col, head, n, w_f, fields,
+                          tile_h)
+
+        def sub_body(sub, _):
+            rec = spanex_ref[pl.ds(sub * CHUNK_T, CHUNK_T), :]
+            best = _chunk_best_spanex(rec, xc, len(fields), tile_h,
+                                      tile_w)
+            _merge_chunk_shaded(best, z_ref, gid_ref, scr_ref)
+            return 0
+    else:
+        def sub_body(sub, _):
+            rec = rec_ref[0, pl.ds(sub * CHUNK_T, CHUNK_T), :]
+            best = _chunk_best(
+                rec, head - sub * CHUNK_T, n - sub * CHUNK_T, yf, xc,
+                w_f, fields, tile_h, tile_w,
+            )
+            _merge_chunk_shaded(best, z_ref, gid_ref, scr_ref)
+            return 0
 
     sub_lo = jnp.clip(jnp.maximum(head, 0) // CHUNK_T, 0,
-                      QUEUE_BLK // CHUNK_T)
+                      blk // CHUNK_T)
     sub_hi = jnp.clip(
-        (n + CHUNK_T - 1) // CHUNK_T, 0, QUEUE_BLK // CHUNK_T
+        (n + CHUNK_T - 1) // CHUNK_T, 0, blk // CHUNK_T
     )
     # Tiles with no entries in this block (n == head, e.g. every EMPTY
     # tile's single init item) must run zero chunks — the rounded-up hi
@@ -1275,15 +1569,27 @@ def rasterize_scene_shaded(
         color = color[:height, :width]
         stats = {"bins_dropped": bins.n_dropped}
     elif strategy == "sorted":
-        recs = pack_records(edges)
+        # Row-major table (pallas-transposed) once the per-entry gather is
+        # the dominant cost; the plain pack avoids the extra kernel launch
+        # on small scenes.
+        recs = (
+            pack_records_rowmajor(edges) if T > 65536
+            else pack_records(edges)
+        )
         expansion, budget_factor = _queue_expansion(tile_h, T)
+        # Dense fine-tile grids run the wide (full-lane-width) in-kernel
+        # stage A over 128-entry blocks; sparse 32-row grids keep narrow
+        # 64-entry blocks with per-chunk span setup (most of their work
+        # items hold only a few real entries).
+        wide = tile_h <= 8
+        blk = 128 if wide else QUEUE_BLK
         qbins = bin_triangles_queue(
-            edges, height, width, tile_h, TILE_W, QUEUE_BLK,
+            edges, height, width, tile_h, TILE_W, blk,
             expansion=expansion, budget_factor=budget_factor,
             frame_height=frame_height, frame_width=frame_width,
             row0=row0, col0=col0,
         )
-        rec_stream, n_blocks = _queue_stream(edges, qbins, recs)
+        rec_stream, n_blocks = _queue_stream(edges, qbins, recs, blk)
         maxw = qbins.wi_tile.shape[0]
         ntiles = tiles_y * tiles_x
         item_ext = jnp.concatenate(
@@ -1311,9 +1617,11 @@ def rasterize_scene_shaded(
         kernel = functools.partial(
             _raster_kernel_queue_shaded, frame_width=frame_width,
             fields=fields, objspecs=objspecs, n_lights=n_lights,
-            tiles_x=tiles_x, tile_h=tile_h, tile_w=TILE_W,
+            tiles_x=tiles_x, tile_h=tile_h, tile_w=TILE_W, blk=blk,
+            wide=wide,
         )
-        rec_index, out_index, _ = _queue_index_maps(tiles_x, n_blocks)
+        rec_index, out_index, _ = _queue_index_maps(tiles_x, n_blocks,
+                                                    blk)
 
         def rec_index8(g, wi, st, cn, it, lc, lm, org, par, _f=rec_index):
             return _f(g, wi, st, cn, it, org)
@@ -1322,13 +1630,17 @@ def rasterize_scene_shaded(
             return _f(g, wi, st, cn, it, org)
 
         in_specs = [
-            pl.BlockSpec((1, QUEUE_BLK, REC_LANES), rec_index8),
+            pl.BlockSpec((1, blk, REC_LANES), rec_index8),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # resident side list
         ]
         operands = [rec_stream, lshared]
         if tex_packed is not None:
             in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
             operands.append(tex_packed)
+        queue_scratch = list(scratch)
+        if wide:
+            _, _, span_lanes = _spanex_layout(len(fields), tile_h)
+            queue_scratch.append(pltpu.VMEM((blk, span_lanes), F32))
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=8,
             grid=(maxw,),
@@ -1338,7 +1650,7 @@ def rasterize_scene_shaded(
                 pl.BlockSpec((tile_h, TILE_W), out_index8),
                 pl.BlockSpec((tile_h, TILE_W), out_index8),
             ],
-            scratch_shapes=scratch,
+            scratch_shapes=queue_scratch,
         )
         z, gid, color = pl.pallas_call(
             kernel,
