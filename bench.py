@@ -122,15 +122,20 @@ def measure_cpu_fps(config: int, height: int, width: int):
     threads = os.cpu_count() or 1
     if native.available():
         native.render(scene_g, tr_d, li_d, 64, 64)  # warm up / build
-        # median of 3 runs of 5 frames (timing is noisy on a loaded box)
+        # Time-targeted reps (>= 0.25 s each), median of 5: fixed 5-frame
+        # reps measured as little as 10 ms and swung 2x run-to-run on
+        # this (shared) box.
+        t0 = time.perf_counter()
+        native.render(scene_g, tr_d, li_d, height, width)
+        probe = time.perf_counter() - t0
+        iters = max(3, int(0.25 / max(probe, 1e-4)))
         runs = []
-        for _ in range(3):
-            iters = 5
+        for _ in range(5):
             t0 = time.perf_counter()
             for _ in range(iters):
                 native.render(scene_g, tr_d, li_d, height, width)
             runs.append((time.perf_counter() - t0) / iters)
-        return 1.0 / sorted(runs)[1], "native-avx", threads
+        return 1.0 / sorted(runs)[2], "native-avx", threads
 
     key = f"{config}@{height}x{width}"
     if os.path.exists(CACHE):
