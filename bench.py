@@ -334,15 +334,35 @@ def run_scale():
         sys.stdout.flush()
 
 
-def run_stages():
+def run_stages(tris: int | None = None):
+    """--stages [N]: per-stage breakdown of config 4, or of a dense Phong
+    sphere with ~N triangles at 1080p (the large-T sorted path)."""
+    import jax
+
     from tpu_renderer.models import scenes
     from tpu_renderer.utils.profiling import stage_breakdown
 
-    h, w = RESOLUTIONS[HEADLINE_CONFIG]
-    scene_g, tr_d, li_d = scenes.baseline_scene(HEADLINE_CONFIG, h, w)
-    scene_j, tr, li = scenes.to_jax_scene(scene_g, tr_d, li_d)
-    obj, cfg = scene_j[0]
+    if tris is None:
+        h, w = RESOLUTIONS[HEADLINE_CONFIG]
+        scene_g, tr_d, li_d = scenes.baseline_scene(HEADLINE_CONFIG, h, w)
+        scene_j, tr, li = scenes.to_jax_scene(scene_g, tr_d, li_d)
+        obj, cfg = scene_j[0]
+    else:
+        import math
+
+        from tpu_renderer.core.types import ObjectConfig, make_object
+        from tpu_renderer.models.primitives import construct_sphere_grid
+
+        h, w = 1080, 1920
+        lat = max(8, int(math.sqrt(tris / 2)))
+        _, tr_d, li_d = scenes.baseline_scene(4, h, w)
+        _, tr, li = scenes.to_jax_scene([], tr_d, li_d)
+        obj = jax.device_put(
+            make_object((0.0, 0.0, 0.0), **construct_sphere_grid(lat, lat))
+        )
+        cfg = ObjectConfig(phong=True)
     bd = stage_breakdown(obj, cfg, tr, li, h, w)
+    bd["triangles"] = obj.num_triangles
     print(json.dumps({k: (round(v, 3) if isinstance(v, float) else v)
                       for k, v in bd.items()}))
 
@@ -356,7 +376,8 @@ def main():
     elif "--parity" in args:
         run_parity()
     elif "--stages" in args:
-        run_stages()
+        extra = [a for a in sys.argv[1:] if a.isdigit()]
+        run_stages(int(extra[0]) if extra else None)
     else:
         run_headline()
 

@@ -114,15 +114,31 @@ def stage_breakdown(obj, cfg, transform, lights, height: int, width: int,
         e = setup_triangles(o, transform, lights, cfg)
         return jnp.sum(e.x0)
 
+    # Mirror rasterize_scene_shaded's actual sorted-path parameters so the
+    # deltas attribute to the stages the real pipeline runs.
+    exp, bf = rp._queue_expansion(tile_h, T)
+    blk = 128 if tile_h <= 8 else rp.QUEUE_BLK
+
     def p_bin(o):
         e = setup_triangles(o, transform, lights, cfg)
         if strategy == "mask":
             b = bin_triangles(e, height, width, tile_h, rp.TILE_W,
                               min(max(rp.CHUNK_T, T), 4096))
             return jnp.sum(b.counts).astype(jnp.float32)
-        q = bin_triangles_queue(e, height, width, tile_h, rp.TILE_W,
-                                rp.QUEUE_BLK)
+        q = bin_triangles_queue(e, height, width, tile_h, rp.TILE_W, blk,
+                                expansion=exp, budget_factor=bf)
         return jnp.sum(q.counts).astype(jnp.float32)
+
+    def p_stream(o):
+        e = setup_triangles(o, transform, lights, cfg)
+        if strategy == "mask":
+            return p_bin(o)  # no separate stream stage
+        q = bin_triangles_queue(e, height, width, tile_h, rp.TILE_W, blk,
+                                expansion=exp, budget_factor=bf)
+        recs = (rp.pack_records_rowmajor(e) if T > 65536
+                else rp.pack_records(e))
+        stream, _ = rp._queue_stream(e, q, recs, blk)
+        return jnp.sum(stream[:, :, 0])
 
     # Untextured configs run the fully-fused kernel (raster + shade in one
     # pass); textured configs raster to a G-buffer and shade deferred.
@@ -157,8 +173,8 @@ def stage_breakdown(obj, cfg, transform, lights, height: int, width: int,
         )
 
     cum = {name: timed(fn) for name, fn in [
-        ("setup", p_setup), ("binning", p_bin), ("raster", p_raster),
-        ("shade", p_shade),
+        ("setup", p_setup), ("binning", p_bin), ("stream", p_stream),
+        ("raster", p_raster), ("shade", p_shade),
     ]}
     return {
         "strategy": strategy,
@@ -166,7 +182,8 @@ def stage_breakdown(obj, cfg, transform, lights, height: int, width: int,
         "fused_shading": fused,
         "setup_ms": cum["setup"],
         "binning_ms": cum["binning"] - cum["setup"],
-        "raster_ms": cum["raster"] - cum["binning"],
+        "stream_ms": cum["stream"] - cum["binning"],
+        "raster_ms": cum["raster"] - cum["stream"],
         "shade_ms": cum["shade"] - cum["raster"],
         "total_ms": cum["shade"],
     }
