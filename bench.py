@@ -291,7 +291,7 @@ def run_scale():
     height, width = 1080, 1920
     _, tr_d, li_d = scenes.baseline_scene(4, height, width)
     _, transform, lights = scenes.to_jax_scene([], tr_d, li_d)
-    for lat, lon in ((140, 143), (354, 354), (708, 707)):
+    for lat, lon in ((140, 143), (354, 354), (708, 707), (1000, 1001)):
         mesh = construct_sphere_grid(lat, lon)
         obj = jax.device_put(make_object((0.0, 0.0, 0.0), **mesh))
         cfg = ObjectConfig(phong=True)
@@ -326,10 +326,25 @@ def run_scale():
         _ = float(out[0])
         ms = (time.perf_counter() - t0) / iters * 1e3
         drops = int(np.asarray(out[1])[-1])
+
+        # Native CPU golden at the same point (median of 3; honest
+        # comparison column — see README's scaling table).
+        cpu_ms = None
+        from tpu_renderer.golden import native
+        if native.available():
+            sg = [(dict(p=(0.0, 0.0, 0.0), **mesh), {"phong": True})]
+            native.render(sg, tr_d, li_d, 64, 64)
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                native.render(sg, tr_d, li_d, height, width)
+                ts.append((time.perf_counter() - t0) * 1e3)
+            cpu_ms = round(sorted(ts)[1], 1)
         print(json.dumps({
             "metric": "scale_1080p_phong", "triangles": tris,
             "ms_per_frame": round(ms, 2),
             "fps": round(1e3 / ms, 1), "bins_dropped": drops,
+            "cpu_golden_ms": cpu_ms,
         }))
         sys.stdout.flush()
 

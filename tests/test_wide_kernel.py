@@ -1,0 +1,78 @@
+"""Dense-grid (tile_h=8) wide-kernel path: _stage_a_fill + _chunk_best_spanex.
+
+The suite's default scenes pick 32-row tiles (T <= 8192), which routes
+around the wide in-kernel stage A entirely — these tests force tile_h=8
+so the span-expanded scratch, the in-kernel block transpose, and the
+boundary masking folded into maxx are all exercised and bit-compared
+against the mask strategy (whose kernel interleaves span setup per chunk
+— an independent implementation of the same ops.spans closed forms).
+"""
+
+import numpy as np
+import pytest
+
+from tpu_renderer.core.types import ObjectConfig
+from tpu_renderer.geometry.vertex import setup_triangles
+from tpu_renderer.models import scenes
+from tpu_renderer.ops import raster_pallas as rp
+
+H, W = 96, 128
+
+
+def _edges(config=4, cfg_override=None, texture=None):
+    sg, tr_d, li_d = scenes.baseline_scene(config, H, W)
+    scene_j, tr, li = scenes.to_jax_scene(sg, tr_d, li_d)
+    obj, cfg = scene_j[0]
+    if texture is not None:
+        obj = obj._replace(texture=texture)
+        cfg = ObjectConfig(textured=True)
+    if cfg_override is not None:
+        cfg = cfg_override
+    return setup_triangles(obj, tr, li, cfg), tr, li, cfg
+
+
+@pytest.mark.parametrize("phong", [True, False])
+def test_wide_sorted_matches_mask_tile8(phong):
+    edges, tr, li, _ = _edges(4, ObjectConfig(phong=phong))
+    outs = {}
+    for strat in ("mask", "sorted"):
+        cov, z, col, stats = rp.rasterize_pallas_shaded(
+            edges, tr, li, phong, H, W, strategy=strat, tile_h=8
+        )
+        assert int(stats["bins_dropped"]) == 0
+        outs[strat] = (np.asarray(cov), np.asarray(z), np.asarray(col))
+    for a, b in zip(outs["mask"], outs["sorted"]):
+        np.testing.assert_array_equal(a, b)
+    assert outs["mask"][0].any()
+
+
+def test_wide_sorted_textured_tile8():
+    """Fused MXU texture sampling through the wide path (atlas finalize
+    runs off the spanex scratch's uv planes)."""
+    from tpu_renderer.models.textures import checkerboard as cb
+
+    tex = cb(32, 32, 4)
+    edges, tr, li, cfg = _edges(1, texture=tex)
+    outs = {}
+    for strat in ("mask", "sorted"):
+        cov, z, col, stats = rp.rasterize_pallas_shaded(
+            edges, tr, li, False, H, W, strategy=strat, tile_h=8,
+            texture=tex,
+        )
+        outs[strat] = (np.asarray(cov), np.asarray(z), np.asarray(col))
+    for a, b in zip(outs["mask"], outs["sorted"]):
+        np.testing.assert_array_equal(a, b)
+    assert outs["mask"][0].any()
+
+
+def test_pack_records_rowmajor_bitexact():
+    """pack_records_rowmajor = pack_records + zero row padding, bit-for-bit
+    (the pipeline only switches tables above 65k triangles, so the suite
+    would otherwise never compare them)."""
+    edges, _, _, _ = _edges(4, ObjectConfig(phong=True))
+    a = np.asarray(rp.pack_records(edges)).view(np.uint32)
+    b = np.asarray(rp.pack_records_rowmajor(edges)).view(np.uint32)
+    T = edges.num_triangles
+    assert (a == b[:T]).all()
+    assert (b[T:] == 0).all()
+    assert b.shape[0] % rp._PACK_T_BLK == 0
