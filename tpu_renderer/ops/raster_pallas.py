@@ -109,6 +109,7 @@ F32 = jnp.float32
 TILE_W = 128
 CHUNK_T = 8  # triangles evaluated per vector step
 QUEUE_BLK = 64  # sorted-strategy: entries per pipelined record block
+WIDE_BLK = 128  # wide-stage-A block (dense grids); >=128 fills the lanes
 _BIG = 3.4028235e38
 AUTO_SORTED_THRESHOLD = 512  # auto switches to sorted binning above this
 
@@ -1578,11 +1579,11 @@ def rasterize_scene_shaded(
         )
         expansion, budget_factor = _queue_expansion(tile_h, T)
         # Dense fine-tile grids run the wide (full-lane-width) in-kernel
-        # stage A over 128-entry blocks; sparse 32-row grids keep narrow
-        # 64-entry blocks with per-chunk span setup (most of their work
-        # items hold only a few real entries).
+        # stage A over WIDE_BLK-entry blocks; sparse 32-row grids keep
+        # narrow 64-entry blocks with per-chunk span setup (most of their
+        # work items hold only a few real entries).
         wide = tile_h <= 8
-        blk = 128 if wide else QUEUE_BLK
+        blk = WIDE_BLK if wide else QUEUE_BLK
         qbins = bin_triangles_queue(
             edges, height, width, tile_h, TILE_W, blk,
             expansion=expansion, budget_factor=budget_factor,
