@@ -327,19 +327,26 @@ def run_scale():
         ms = (time.perf_counter() - t0) / iters * 1e3
         drops = int(np.asarray(out[1])[-1])
 
-        # Native CPU golden at the same point (median of 3; honest
-        # comparison column — see README's scaling table).
+        # Native CPU golden at the same point, held to the repo's timing
+        # standard (CLAUDE.md / measure_cpu_fps): time-targeted reps
+        # >= 0.25 s each, median of 5 — single-frame timings on this
+        # shared box swing 2-4x.
         cpu_ms = None
         from tpu_renderer.golden import native
         if native.available():
             sg = [(dict(p=(0.0, 0.0, 0.0), **mesh), {"phong": True})]
             native.render(sg, tr_d, li_d, 64, 64)
-            ts = []
-            for _ in range(3):
+            t0 = time.perf_counter()
+            native.render(sg, tr_d, li_d, height, width)
+            probe = time.perf_counter() - t0
+            reps = max(2, int(0.25 / max(probe, 1e-4)))
+            runs = []
+            for _ in range(5):
                 t0 = time.perf_counter()
-                native.render(sg, tr_d, li_d, height, width)
-                ts.append((time.perf_counter() - t0) * 1e3)
-            cpu_ms = round(sorted(ts)[1], 1)
+                for _ in range(reps):
+                    native.render(sg, tr_d, li_d, height, width)
+                runs.append((time.perf_counter() - t0) / reps * 1e3)
+            cpu_ms = round(sorted(runs)[2], 1)
         print(json.dumps({
             "metric": "scale_1080p_phong", "triangles": tris,
             "ms_per_frame": round(ms, 2),

@@ -311,3 +311,60 @@ def test_mask_strategy_vmem_guard():
     edges = edges_for(4)
     with pytest.raises(ValueError, match="mask strategy"):
         rasterize_pallas(edges, 1024, 1920, 16384, None, None, 0, 0, "mask")
+
+
+def test_narrow_queue_large_triangle_sidelist():
+    """Narrow (tile_h=32, QUEUE_BLK) shaded path with n_large > 0.
+
+    At tile_h=32 the entry expansion is 32 tiles, so forcing a triangle
+    into the large side list needs a frame with > 32 tiles — a giant quad
+    over a 256 x 1408 frame covers all 88. The in-kernel side-list fold
+    (gid-aware merge) was previously only exercised through the wide
+    (tile_h=8) path; this bit-compares the narrow path against the mask
+    strategy, which has no side list at all."""
+    import numpy as np
+
+    from tpu_renderer.core.types import make_object
+    from tpu_renderer.models.primitives import construct_cube, construct_quad
+    from tpu_renderer.ops.binning import bin_triangles_queue
+    from tpu_renderer.ops.raster_pallas import (
+        _queue_expansion,
+        rasterize_pallas_shaded,
+    )
+
+    h, w = 256, 1408
+    sg, tr_d, li_d = scenes.baseline_scene(1, h, w)
+    _, tr, li = scenes.to_jax_scene(sg, tr_d, li_d)
+    cube = construct_cube()
+    quad = construct_quad(16.0, color=(0.3, 0.9, 0.4, 1.0))
+    quad["vertices"] = quad["vertices"] + np.float32([0.0, 0.0, -0.5])
+    obj = make_object(
+        (0.0, 0.0, 0.0),
+        np.concatenate([cube["vertices"], quad["vertices"]]),
+        np.concatenate([cube["colors"], quad["colors"]]),
+        np.concatenate([cube["normals"], quad["normals"]]),
+        np.concatenate([cube["uvs"], quad["uvs"]]),
+    )
+    from tpu_renderer.core.types import ObjectConfig
+
+    cfg = ObjectConfig()
+    edges = setup_triangles(obj, tr, li, cfg)
+
+    # Positively assert the quad overflows the expansion into the side list.
+    exp, bf = _queue_expansion(32, edges.num_triangles)
+    assert exp == 32
+    q = bin_triangles_queue(edges, h, w, 32, 128, 64, expansion=exp,
+                            budget_factor=bf)
+    assert int(q.n_large) == 2  # the quad's two triangles
+    assert int(q.n_dropped) == 0
+
+    outs = {}
+    for strat in ("mask", "sorted"):
+        cov, z, col, stats = rasterize_pallas_shaded(
+            edges, tr, li, False, h, w, strategy=strat, tile_h=32
+        )
+        assert int(stats["bins_dropped"]) == 0
+        outs[strat] = (np.asarray(cov), np.asarray(z), np.asarray(col))
+    for a, b in zip(outs["mask"], outs["sorted"]):
+        np.testing.assert_array_equal(a, b)
+    assert outs["mask"][0].any()

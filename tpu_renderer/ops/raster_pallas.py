@@ -150,7 +150,11 @@ _F_COLG = 18  # 4 floats
 _F_N0 = 22  # 3 floats
 _F_NG = 25  # 3 floats
 EDGE_STRIDE = 28
-GID_LANE = 84  # 3 * EDGE_STRIDE; f32-exact up to 2**24 triangles/object
+GID_LANE = 84  # 3 * EDGE_STRIDE; f32-exact up to 2**24 triangles PER SCENE
+# (concat_edge_tables makes the gid lane scene-global, so the exactness
+# bound applies to the whole scene's triangle total; rasterize_scene_shaded
+# enforces it).
+MAX_SCENE_TRIANGLES = 2 ** 24
 REC_LANES = 128
 
 ATTR_CHANNELS = GBUF_CHANNELS - 1  # G-buffer minus the leading z channel
@@ -1493,6 +1497,12 @@ def rasterize_scene_shaded(
     textured; it must satisfy the MAX_FUSED_TEX_* limits atlas-wide."""
     T = edges.num_triangles
     assert objspecs[-1].gid_hi == T, "objspecs must cover the edge table"
+    # The f32 gid lane is exact only up to 2**24; beyond it, gid-range
+    # object selection and depth-tie breaks would corrupt silently.
+    assert T <= MAX_SCENE_TRIANGLES, (
+        f"scene has {T} triangles; the f32 gid lane is exact only to "
+        f"{MAX_SCENE_TRIANGLES} — split the scene across draws"
+    )
     if frame_height is None:
         frame_height = height
     if frame_width is None:

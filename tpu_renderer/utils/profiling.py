@@ -117,7 +117,7 @@ def stage_breakdown(obj, cfg, transform, lights, height: int, width: int,
     # Mirror rasterize_scene_shaded's actual sorted-path parameters so the
     # deltas attribute to the stages the real pipeline runs.
     exp, bf = rp._queue_expansion(tile_h, T)
-    blk = 128 if tile_h <= 8 else rp.QUEUE_BLK
+    blk = rp.WIDE_BLK if tile_h <= 8 else rp.QUEUE_BLK
 
     def p_bin(o):
         e = setup_triangles(o, transform, lights, cfg)
