@@ -104,7 +104,7 @@ def measure_tpu_fps(config: int, height: int, width: int,
     _ = float(out[0])  # single fetch forces the whole chain
     dt = (time.perf_counter() - t0) / iters
 
-    tris = sum(int(o.vertices.shape[0]) // 3 for o in objs)
+    tris = sum(int(o.num_triangles) for o in objs)
     covered = int(np.asarray(out[1])[-1])
     return 1.0 / dt, tris, covered
 

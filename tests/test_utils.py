@@ -59,12 +59,13 @@ class TestTransform:
             np.zeros((3, 2), np.float32),
         )
         spun = rotate_object(obj, rotation_y(jnp.float32(np.pi / 2)))
-        v = np.asarray(spun.vertices)
+        # channel-major (3, 3, T) -> classic (V, 3) rows for the assertions
+        v = np.asarray(spun.vertices)[:, :, 0].T
         np.testing.assert_allclose(v[0], [0, 0, -1], atol=1e-6)  # x -> -z
         np.testing.assert_allclose(v[1], [0, 1, 0], atol=1e-6)  # y fixed
         # normals rotate with vertices
         np.testing.assert_allclose(
-            np.asarray(spun.normals), v, atol=1e-6
+            np.asarray(spun.normals)[:, :, 0].T, v, atol=1e-6
         )
 
     def test_translate(self):

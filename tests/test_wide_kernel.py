@@ -76,3 +76,37 @@ def test_pack_records_rowmajor_bitexact():
     assert (a == b[:T]).all()
     assert (b[T:] == 0).all()
     assert b.shape[0] % rp._PACK_T_BLK == 0
+
+
+@pytest.mark.parametrize("config", [1, 3, 4])
+def test_setup_records_matches_packed_edge_table(config):
+    """The channel-major record writer (geometry.vertex.setup_records +
+    finish_records) must produce bit-identical tables to packing the
+    EdgeTable view — both derive from one _setup_fields core, and the
+    whole fast path now rides setup_records."""
+    from tpu_renderer.geometry.vertex import setup_records, setup_triangles
+    from tpu_renderer.models import scenes
+
+    sg, tr_d, li_d = scenes.baseline_scene(config, H, W)
+    scene_j, tr, li = scenes.to_jax_scene(sg, tr_d, li_d)
+    obj, cfg = scene_j[0]
+    T = obj.num_triangles
+
+    rec_t = setup_records(obj, tr, li, cfg)
+    a = np.asarray(rp.finish_records(rec_t)).view(np.uint32)
+    b = np.asarray(rp.pack_records(setup_triangles(obj, tr, li, cfg))).view(
+        np.uint32
+    )
+    assert (a[:T] == b).all()
+    assert (a[T:] == 0).all()
+
+    # gid0 offsets the gid lane and nothing else
+    rec_t5 = setup_records(obj, tr, li, cfg, gid0=1000)
+    c = np.asarray(rp.finish_records(rec_t5))
+    gl = rp.GID_LANE
+    np.testing.assert_array_equal(
+        c[:T, gl], np.arange(T, dtype=np.float32) + 1000.0
+    )
+    np.testing.assert_array_equal(
+        c[:T, :gl].view(np.uint32), a[:T, :gl]
+    )

@@ -99,32 +99,59 @@ class RenderObject(NamedTuple):
     ``vertices`` are model-space; ``p`` is the model's camera-space position,
     added per-vertex exactly as the reference does (projekt.cpp:3900-3903) —
     there is no rotation in the reference's object transform.
+
+    Device arrays are CHANNEL-MAJOR: shape (C, 3, T) — component, vertex-
+    within-triangle, triangle — with the TRIANGLE axis minor. TPU tiles are
+    (8, 128)-lane: a classic (V, 3)-minor soup is either stored ~42x padded
+    or compute-transposed by XLA every frame, and the whole downstream
+    pipeline (edge setup, packed records, binning) wants per-triangle
+    vectors. ``make_object`` accepts the classic (V, C) NumPy form and
+    converts once at construction.
     """
 
     p: jnp.ndarray  # (3,) f32
-    vertices: jnp.ndarray  # (V, 3) f32, V = 3 * num_triangles
-    colors: jnp.ndarray  # (V, 4) f32 rgba
-    normals: jnp.ndarray  # (V, 3) f32
-    uvs: jnp.ndarray  # (V, 2) f32
+    vertices: jnp.ndarray  # (3, 3, T) f32 [xyz][vertex 0..2][triangle]
+    colors: jnp.ndarray  # (4, 3, T) f32 rgba
+    normals: jnp.ndarray  # (3, 3, T) f32
+    uvs: jnp.ndarray  # (2, 3, T) f32
     texture: Optional[jnp.ndarray] = None  # (Ht, Wt) u32 ARGB or None
 
     @property
     def num_triangles(self) -> int:
-        return self.vertices.shape[0] // 3
+        return self.vertices.shape[2]
+
+
+def _to_channel_major(arr, channels: int):
+    """(V, C) classic soup -> (C, 3, T) channel-major device layout."""
+    arr = jnp.asarray(arr, F32).reshape(-1, channels)
+    v = arr.shape[0]
+    assert v % 3 == 0, "triangle soup requires a multiple of 3 vertices"
+    return jnp.transpose(arr.reshape(v // 3, 3, channels), (2, 1, 0))
 
 
 def make_object(p, vertices, colors, normals, uvs, texture=None) -> RenderObject:
-    vertices = jnp.asarray(vertices, F32).reshape(-1, 3)
-    v = vertices.shape[0]
-    assert v % 3 == 0, "triangle soup requires a multiple of 3 vertices"
+    """Build a RenderObject from classic (V, C) triangle-soup arrays
+    (vertex-major, as the reference and the golden use them); arrays are
+    converted to the channel-major device layout once, here."""
     return RenderObject(
         p=jnp.asarray(p, F32).reshape(3),
-        vertices=vertices,
-        colors=jnp.asarray(colors, F32).reshape(v, 4),
-        normals=jnp.asarray(normals, F32).reshape(v, 3),
-        uvs=jnp.asarray(uvs, F32).reshape(v, 2),
+        vertices=_to_channel_major(vertices, 3),
+        colors=_to_channel_major(colors, 4),
+        normals=_to_channel_major(normals, 3),
+        uvs=_to_channel_major(uvs, 2),
         texture=None if texture is None else jnp.asarray(texture, jnp.uint32),
     )
+
+
+def classic_arrays(obj: RenderObject) -> dict:
+    """The object's soup back in classic (V, C) vertex-major NumPy form
+    (serialization, goldens, debugging)."""
+    out = {}
+    for name in ("vertices", "colors", "normals", "uvs"):
+        a = np.asarray(getattr(obj, name))
+        c = a.shape[0]
+        out[name] = a.transpose(2, 1, 0).reshape(-1, c)
+    return out
 
 
 @dataclasses.dataclass(frozen=True)

@@ -70,7 +70,6 @@ def render_object(
         frame_height = height
     if frame_width is None:
         frame_width = width
-    edges = setup_triangles(obj, transform, lights, cfg)
     fused_tex = (
         cfg.textured
         and cfg.uv_mode == "scalar"
@@ -80,14 +79,18 @@ def render_object(
     )
     if backend == "pallas" and (not cfg.textured or fused_tex):
         # Fully-fused fast path: raster + interpolate + shade + pack in one
-        # Pallas kernel; the G-buffer never exists in HBM. Small 'scalar'/
-        # nearest textures sample in-kernel via an MXU one-hot contraction
-        # (TPU per-element gathers are pathological); bilinear, 'avx'
-        # uv-masking, and large textures stay on the deferred XLA path.
+        # Pallas kernel; the G-buffer never exists in HBM, and the vertex
+        # stage writes the packed record table directly (setup_records —
+        # no EdgeTable materializes). Small 'scalar'/nearest textures
+        # sample in-kernel via an MXU one-hot contraction (TPU per-element
+        # gathers are pathological); bilinear, 'avx' uv-masking, and large
+        # textures stay on the deferred XLA path.
+        from ..geometry.vertex import setup_records
         from ..ops.raster_pallas import rasterize_pallas_shaded
 
+        rec_t = setup_records(obj, transform, lights, cfg)
         covered, z, packed, rstats = rasterize_pallas_shaded(
-            edges, transform, lights, cfg.phong, height, width, capacity,
+            rec_t, transform, lights, cfg.phong, height, width, capacity,
             frame_height, frame_width, row0, col0,
             texture=obj.texture if fused_tex else None,
         )
@@ -101,14 +104,17 @@ def render_object(
             depth=jnp.where(win, z, framebuffer.depth),
         )
     if backend == "reference":
+        edges = setup_triangles(obj, transform, lights, cfg)
         covered, gbuf = rasterize_reference(
             edges, height, width, frame_width, row0, col0
         )
     elif backend == "pallas":
+        from ..geometry.vertex import setup_records
         from ..ops.raster_pallas import rasterize_pallas
 
+        rec_t = setup_records(obj, transform, lights, cfg)
         covered, gbuf, rstats = rasterize_pallas(
-            edges, height, width, capacity, frame_height, frame_width,
+            rec_t, height, width, capacity, frame_height, frame_width,
             row0, col0,
         )
         if stats is not None:
@@ -161,13 +167,16 @@ def _render_scene_batched(
     framebuffer, scene, transform, lights, frame_height, frame_width,
     row0, col0, capacity, stats,
 ):
-    """ONE fused kernel launch for the whole scene: edge tables concatenate
-    into a scene-global table (row index = global triangle id = submission
-    order), per-object shading selects by static gid ranges in-kernel, and
-    all textures ride one packed atlas. Replaces len(scene) kernel
-    dispatches + framebuffer merges per frame — the reference's per-model
-    work items (projekt.cpp:3873-3878) collapsed into one grid."""
-    from ..geometry.vertex import concat_edge_tables
+    """ONE fused kernel launch for the whole scene: per-object record
+    tables concatenate into a scene-global channel-major table (gid lanes
+    carry the global submission order), per-object shading selects by
+    static gid ranges in-kernel, and all textures ride one packed atlas.
+    Replaces len(scene) kernel dispatches + framebuffer merges per frame —
+    the reference's per-model work items (projekt.cpp:3873-3878) collapsed
+    into one grid. Each object's table pads its triangle axis to 128 so the
+    lane-axis concat stays tile-aligned (pad rows are all-zero = invalid =
+    never render; their gid lanes are 0 but unreachable)."""
+    from ..geometry.vertex import setup_records
     from ..ops.raster_pallas import (
         ObjSpec,
         pack_texture_atlas,
@@ -176,9 +185,15 @@ def _render_scene_batched(
 
     height, width = framebuffer.height, framebuffer.width
     textures, tex_slot = [], {}
-    tables, raw = [], []
+    rec_ts, raw = [], []
+    objspecs, gid = [], 0
     for obj, cfg in scene:
-        tables.append(setup_triangles(obj, transform, lights, cfg))
+        T = obj.num_triangles
+        rt = setup_records(obj, transform, lights, cfg, gid0=gid)
+        pad = -T % 128
+        if pad:
+            rt = jnp.pad(rt, ((0, 0), (0, pad)))
+        rec_ts.append(rt)
         slot = None
         if cfg.textured:
             key = id(obj.texture)
@@ -186,23 +201,23 @@ def _render_scene_batched(
                 tex_slot[key] = len(textures)
                 textures.append(obj.texture)
             slot = tex_slot[key]
-        raw.append((cfg.phong, slot))
+        raw.append((cfg.phong, slot, gid, T))
+        gid += T + pad
     if textures:
         atlas, offs = pack_texture_atlas(textures)
     else:
         atlas, offs = None, []
-    objspecs, gid = [], 0
-    for table, (phong, slot) in zip(tables, raw):
-        T = table.num_triangles
+    for phong, slot, gid_lo, T in raw:
         tex = None
         if slot is not None:
             t = textures[slot]
             tex = (offs[slot], int(t.shape[0]), int(t.shape[1]))
-        objspecs.append(ObjSpec(gid, gid + T, bool(phong), tex))
-        gid += T
-    edges = concat_edge_tables(tables)
+        objspecs.append(ObjSpec(gid_lo, gid_lo + T, bool(phong), tex))
+    rec_t = (
+        jnp.concatenate(rec_ts, axis=1) if len(rec_ts) > 1 else rec_ts[0]
+    )
     covered, z, packed, rstats = rasterize_scene_shaded(
-        edges, tuple(objspecs), transform, lights, height, width, capacity,
+        rec_t, tuple(objspecs), transform, lights, height, width, capacity,
         frame_height, frame_width, row0, col0, atlas=atlas,
     )
     if stats is not None:

@@ -36,10 +36,19 @@ def rotation_z(angle):
 
 
 def rotate_object(obj: RenderObject, rot: jnp.ndarray) -> RenderObject:
-    """Rotate vertices and normals by a 3x3 matrix (colors/uvs unchanged)."""
+    """Rotate vertices and normals by a 3x3 matrix (colors/uvs unchanged).
+
+    Channel-major layout: component axis leads, so the rotation is
+    rot @ v over a (3, 3T) view — one small-K matmul with the triangle
+    axis on lanes."""
+    t = obj.num_triangles
+
+    def rot3(arr):
+        return (rot @ arr.reshape(3, 3 * t)).reshape(3, 3, t)
+
     return obj._replace(
-        vertices=obj.vertices @ rot.T,
-        normals=obj.normals @ rot.T,
+        vertices=rot3(obj.vertices),
+        normals=rot3(obj.normals),
     )
 
 

@@ -26,29 +26,40 @@ class TileBins(NamedTuple):
     n_dropped: jnp.ndarray  # () i32 total overflow drops
 
 
-def triangle_bbox(edges: EdgeTable, height: int, width: int):
-    """Conservative per-triangle screen bbox from the edge table.
+def _bbox_core(valids, ymins, ymaxs, x0s, xgs, height: int, width: int):
+    """Bbox math shared by the EdgeTable and record-row forms.
 
-    Row range comes straight from the ymin/ymax fields; the column range
-    evaluates each edge's x at its first and last active row (x is linear in
-    y) with a +/-1 rounding margin. Offscreen geometry clamps into the frame
-    exactly like the reference's span clamping, so border-column smears
-    (SURVEY §2.1) bin correctly.
-    """
-    valid = edges.valid & (edges.ymax > edges.ymin)  # edges with active rows
+    Inputs are length-3 lists of per-edge (T,) rows. Same formulas as the
+    original (T, 3)-column form — unrolled min/max chains over the 3 edges
+    are value-identical to axis reductions."""
     big = F32(3.4028235e38)
+    valid = [v & (ymaxs[e] > ymins[e]) for e, v in enumerate(valids)]
 
-    ylo = jnp.min(jnp.where(valid, edges.ymin, big), axis=1)
-    yhi = jnp.max(jnp.where(valid, edges.ymax, -big), axis=1)
+    def mn3(vals, fill):
+        a = [jnp.where(valid[e], vals[e], fill) for e in range(3)]
+        return jnp.minimum(jnp.minimum(a[0], a[1]), a[2])
+
+    def mx3(vals, fill):
+        a = [jnp.where(valid[e], vals[e], fill) for e in range(3)]
+        return jnp.maximum(jnp.maximum(a[0], a[1]), a[2])
+
+    ylo = mn3(ymins, big)
+    yhi = mx3(ymaxs, -big)
     yhi = jnp.minimum(yhi, F32(height))
 
-    xa = edges.x0
-    xb = edges.x0 + (edges.ymax - F32(1.0) - edges.ymin) * edges.xg
-    xlo = jnp.min(jnp.where(valid, jnp.minimum(xa, xb), big), axis=1)
-    xhi = jnp.max(jnp.where(valid, jnp.maximum(xa, xb), -big), axis=1)
+    xa = x0s
+    xb = [x0s[e] + (ymaxs[e] - F32(1.0) - ymins[e]) * xgs[e]
+          for e in range(3)]
+    xlo = mn3([jnp.minimum(xa[e], xb[e]) for e in range(3)], big)
+    xhi = mx3([jnp.maximum(xa[e], xb[e]) for e in range(3)], -big)
     # NaN-proof: degenerate values force the triangle invalid below.
+    nvalid = (
+        valid[0].astype(jnp.int32)
+        + valid[1].astype(jnp.int32)
+        + valid[2].astype(jnp.int32)
+    )
     tri_valid = (
-        (jnp.sum(valid.astype(jnp.int32), axis=1) >= 2)
+        (nvalid >= 2)
         & (yhi > ylo)
         & jnp.isfinite(ylo) & jnp.isfinite(yhi)
     )
@@ -64,6 +75,45 @@ def triangle_bbox(edges: EdgeTable, height: int, width: int):
     ylo = jnp.clip(ylo, F32(0.0), F32(height))
     yhi = jnp.clip(yhi, F32(0.0), F32(height))
     return tri_valid, ylo, yhi, xlo, xhi
+
+
+def triangle_bbox(edges: EdgeTable, height: int, width: int):
+    """Conservative per-triangle screen bbox from the edge table.
+
+    Row range comes straight from the ymin/ymax fields; the column range
+    evaluates each edge's x at its first and last active row (x is linear in
+    y) with a +/-1 rounding margin. Offscreen geometry clamps into the frame
+    exactly like the reference's span clamping, so border-column smears
+    (SURVEY §2.1) bin correctly.
+    """
+    return _bbox_core(
+        [edges.valid[:, e] for e in range(3)],
+        [edges.ymin[:, e] for e in range(3)],
+        [edges.ymax[:, e] for e in range(3)],
+        [edges.x0[:, e] for e in range(3)],
+        [edges.xg[:, e] for e in range(3)],
+        height, width,
+    )
+
+
+def triangle_bbox_rows(rec_t, height: int, width: int):
+    """Same bbox straight from the channel-major record table (85+, T)
+    (geometry.vertex.setup_records): the fast path's binning never touches
+    an EdgeTable. Lane layout per EDGE_STRIDE: valid 0, ymin 1, ymax 2,
+    x0 3, xg 4."""
+    from ..geometry.vertex import EDGE_STRIDE
+
+    def row(e, j):
+        return rec_t[e * EDGE_STRIDE + j]
+
+    return _bbox_core(
+        [row(e, 0) > F32(0.5) for e in range(3)],
+        [row(e, 1) for e in range(3)],
+        [row(e, 2) for e in range(3)],
+        [row(e, 3) for e in range(3)],
+        [row(e, 4) for e in range(3)],
+        height, width,
+    )
 
 
 def _bin_from_bbox(
@@ -120,7 +170,7 @@ def _bin_from_bbox(
 
 
 def bin_triangles(
-    edges: EdgeTable,
+    edges: EdgeTable | None,
     height: int,
     width: int,
     tile_h: int,
@@ -130,12 +180,15 @@ def bin_triangles(
     frame_width: int | None = None,
     row0=0,
     col0=0,
+    bbox=None,
 ) -> TileBins:
     """Build per-tile triangle lists (submission order preserved).
 
     (height, width) is the local tile-grid extent with origin (row0, col0)
     in the global (frame_height, frame_width) frame; bboxes are computed
-    against the global frame and intersected with the local rect.
+    against the global frame and intersected with the local rect. Pass
+    ``bbox`` (triangle_bbox/triangle_bbox_rows output) to skip the EdgeTable
+    entirely (the records fast path).
     """
     if frame_height is None:
         frame_height = height
@@ -143,11 +196,11 @@ def bin_triangles(
         frame_width = width
     tiles_y = -(-height // tile_h)
     tiles_x = -(-width // tile_w)
-    T = edges.num_triangles
 
-    tri_valid, ylo, yhi, xlo, xhi = triangle_bbox(
-        edges, frame_height, frame_width
-    )
+    if bbox is None:
+        bbox = triangle_bbox(edges, frame_height, frame_width)
+    tri_valid, ylo, yhi, xlo, xhi = bbox
+    T = tri_valid.shape[0]
     return _bin_from_bbox(
         tri_valid, ylo, yhi, xlo, xhi, jnp.arange(T, dtype=jnp.int32),
         tiles_y, tiles_x, tile_h, tile_w, capacity, row0, col0,
@@ -156,7 +209,7 @@ def bin_triangles(
 
 def count_subset_per_tile(
     subset_ids,
-    edges: EdgeTable,
+    edges: EdgeTable | None,
     height: int,
     width: int,
     tile_h: int,
@@ -165,6 +218,7 @@ def count_subset_per_tile(
     frame_width: int | None = None,
     row0=0,
     col0=0,
+    bbox=None,
 ):
     """Per-tile overlap counts for a compacted triangle subset — the
     (tiles_y * tiles_x,) i32 gate the sorted strategy uses to skip the
@@ -176,9 +230,9 @@ def count_subset_per_tile(
     tiles_y = -(-height // tile_h)
     tiles_x = -(-width // tile_w)
 
-    tri_valid, ylo, yhi, xlo, xhi = triangle_bbox(
-        edges, frame_height, frame_width
-    )
+    if bbox is None:
+        bbox = triangle_bbox(edges, frame_height, frame_width)
+    tri_valid, ylo, yhi, xlo, xhi = bbox
     ok = subset_ids >= 0
     safe = jnp.maximum(subset_ids, 0)
     valid = ok & tri_valid[safe]
@@ -286,7 +340,7 @@ class QueueBins(NamedTuple):
 
 
 def bin_triangles_queue(
-    edges: EdgeTable,
+    edges: EdgeTable | None,
     height: int,
     width: int,
     tile_h: int,
@@ -299,6 +353,7 @@ def bin_triangles_queue(
     frame_width: int | None = None,
     row0=0,
     col0=0,
+    bbox=None,
 ) -> QueueBins:
     """Scalable binning: expand + stable-sort; no relayout.
 
@@ -315,11 +370,11 @@ def bin_triangles_queue(
     tiles_y = -(-height // tile_h)
     tiles_x = -(-width // tile_w)
     ntiles = tiles_y * tiles_x
-    T = edges.num_triangles
 
-    tri_valid, ylo, yhi, xlo, xhi = triangle_bbox(
-        edges, frame_height, frame_width
-    )
+    if bbox is None:
+        bbox = triangle_bbox(edges, frame_height, frame_width)
+    tri_valid, ylo, yhi, xlo, xhi = bbox
+    T = tri_valid.shape[0]
     ylo = ylo - jnp.asarray(row0, F32)
     yhi = yhi - jnp.asarray(row0, F32)
     xlo = xlo - jnp.asarray(col0, F32)

@@ -93,13 +93,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core.math import round_half_away
 from ..core.types import DEPTH_CLEAR, LightData, ProjectiveTransform
-from ..geometry.vertex import EdgeTable
+from ..geometry.vertex import (
+    EDGE_STRIDE,
+    GID_LANE,
+    REC_LANES,
+    REC_ROWS,
+    EdgeTable,
+)
 from .binning import (
     QueueBins,
     TileBins,
     bin_triangles,
     bin_triangles_queue,
     count_subset_per_tile,
+    triangle_bbox_rows,
 )
 from .raster_reference import GBUF_CHANNELS
 from .shading import pack_argb_planes, shade_planes
@@ -142,20 +149,18 @@ def _queue_expansion(tile_h: int, num_triangles: int):
 # into the broadcast side pass (measured 2.6 ms vs 22 ms at 2.2k tris).
 TILE8_THRESHOLD = 8192
 
-# Per-edge field layout inside the packed record (28 floats per edge).
+# Per-edge field layout inside the packed record (28 floats per edge;
+# EDGE_STRIDE/GID_LANE/REC_LANES are owned by geometry.vertex, which WRITES
+# this layout directly — setup_records — and re-exported here).
 _F_VALID, _F_YMIN, _F_YMAX, _F_X0, _F_XG, _F_Z0, _F_ZG = range(7)
 _F_OZ0, _F_OZG, _F_U0, _F_UG, _F_V0, _F_VG, _F_LEFT = range(7, 14)
 _F_COL0 = 14  # 4 floats
 _F_COLG = 18  # 4 floats
 _F_N0 = 22  # 3 floats
 _F_NG = 25  # 3 floats
-EDGE_STRIDE = 28
-GID_LANE = 84  # 3 * EDGE_STRIDE; f32-exact up to 2**24 triangles PER SCENE
-# (concat_edge_tables makes the gid lane scene-global, so the exactness
-# bound applies to the whole scene's triangle total; rasterize_scene_shaded
-# enforces it).
+# The gid lane is f32 — exact up to 2**24 triangles PER SCENE
+# (concat makes it scene-global; rasterize_scene_shaded enforces this).
 MAX_SCENE_TRIANGLES = 2 ** 24
-REC_LANES = 128
 
 ATTR_CHANNELS = GBUF_CHANNELS - 1  # G-buffer minus the leading z channel
 
@@ -213,20 +218,46 @@ def pack_records(edges: EdgeTable) -> jnp.ndarray:
 _PACK_T_BLK = 512  # triangles per grid step of the pack-transpose kernel
 
 
-def pack_records_rowmajor(edges: EdgeTable) -> jnp.ndarray:
-    """(Tp, 128) packed records with a GUARANTEED row-major layout.
+def finish_records(rec_t: jnp.ndarray) -> jnp.ndarray:
+    """Channel-major (85+, T) record table -> (Tp, 128) ROW-MAJOR table.
 
-    Same values as pack_records (rows past T are zero padding), different
-    construction: the columns stack TRANSPOSED — (128, T), minor dim T, the
-    one layout XLA keeps dense for per-lane producers — and a trivial
-    Pallas kernel transposes blocks to (Tp, 128). Pallas outputs always
-    carry the standard (sublane, lane) layout, which pins the table
-    row-major for the sorted strategy's per-entry row gather. Left to
-    itself, XLA either fuses the 85-column stack into the gather or
-    materializes it column-major; both make each row fetch touch ~85
-    strided locations (measured 35-47 ns/row vs ~13 ns/row from a
-    row-major table — at a 1.5M-entry stream that difference is ~40
-    ms/frame, the single largest XLA cost at multi-M triangles)."""
+    Pads to 128 lane rows / _PACK_T_BLK triangles and transposes with a
+    trivial Pallas kernel. Pallas outputs always carry the standard
+    (sublane, lane) layout, which pins the table row-major for the sorted
+    strategy's per-entry row gather: left to itself, XLA either fuses the
+    85-row stack into the gather or materializes it column-major; both make
+    each row fetch touch ~85 strided locations (measured 35-47 ns/row vs
+    ~13 ns/row from a row-major table — at a 1.5M-entry stream that
+    difference is ~40 ms/frame). The channel-major input is what
+    geometry.vertex.setup_records writes DIRECTLY (fused with the field
+    math), so no (T, 3)-minor relayout ever materializes."""
+    T = rec_t.shape[1]
+    rec_t = jnp.pad(
+        rec_t,
+        ((0, REC_LANES - rec_t.shape[0]), (0, -T % _PACK_T_BLK)),
+    )  # (128, Tp)
+    tp = rec_t.shape[1]
+
+    def kern(x_ref, o_ref):
+        o_ref[:] = jnp.transpose(x_ref[:])
+
+    return pl.pallas_call(
+        kern,
+        interpret=jax.default_backend() != "tpu",
+        grid=(tp // _PACK_T_BLK,),
+        in_specs=[
+            pl.BlockSpec((REC_LANES, _PACK_T_BLK), lambda i: (0, i)),
+        ],
+        out_specs=pl.BlockSpec(
+            (_PACK_T_BLK, REC_LANES), lambda i: (i, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((tp, REC_LANES), F32),
+    )(rec_t)
+
+
+def pack_records_rowmajor(edges: EdgeTable) -> jnp.ndarray:
+    """(Tp, 128) row-major packed records from an EdgeTable (compat path —
+    the fast path feeds finish_records from setup_records directly)."""
     T = edges.num_triangles
     cols = []
     for e in range(3):
@@ -251,28 +282,7 @@ def pack_records_rowmajor(edges: EdgeTable) -> jnp.ndarray:
         cols += [edges.n0[:, e, c] for c in range(3)]
         cols += [edges.ng[:, e, c] for c in range(3)]
     cols.append(jnp.arange(T, dtype=jnp.int32).astype(F32))  # GID_LANE
-    rec_t = jnp.stack(cols, axis=0)  # (85, T) dense
-    rec_t = jnp.pad(
-        rec_t,
-        ((0, REC_LANES - rec_t.shape[0]), (0, -T % _PACK_T_BLK)),
-    )  # (128, Tp)
-    tp = rec_t.shape[1]
-
-    def kern(x_ref, o_ref):
-        o_ref[:] = jnp.transpose(x_ref[:])
-
-    return pl.pallas_call(
-        kern,
-        interpret=jax.default_backend() != "tpu",
-        grid=(tp // _PACK_T_BLK,),
-        in_specs=[
-            pl.BlockSpec((REC_LANES, _PACK_T_BLK), lambda i: (0, i)),
-        ],
-        out_specs=pl.BlockSpec(
-            (_PACK_T_BLK, REC_LANES), lambda i: (i, 0)
-        ),
-        out_shape=jax.ShapeDtypeStruct((tp, REC_LANES), F32),
-    )(rec_t)
+    return finish_records(jnp.stack(cols, axis=0))
 
 
 def shade_params(transform: ProjectiveTransform, lights: LightData):
@@ -1001,9 +1011,9 @@ def _tile_records(edges, bins, recs=None):
     return jnp.where((bins.ids >= 0)[..., None], tile_recs, F32(0.0))
 
 
-def raster_pass(edges: EdgeTable, bins: TileBins, height: int, width: int,
-                frame_width: int | None = None, row0=0, col0=0,
-                tile_h: int = 32):
+def raster_pass(edges: EdgeTable | None, bins: TileBins, height: int,
+                width: int, frame_width: int | None = None, row0=0, col0=0,
+                tile_h: int = 32, recs=None):
     """Mask-strategy pass over the local tile grid.
 
     Returns (gid(H,W) i32 global ids (-1 = empty), gbuf(11,H,W) f32
@@ -1014,7 +1024,7 @@ def raster_pass(edges: EdgeTable, bins: TileBins, height: int, width: int,
     tiles_y, tiles_x, capacity = bins.ids.shape
     assert capacity % CHUNK_T == 0
     _mask_guard(capacity, tiles_y, tiles_x)
-    tile_recs = _tile_records(edges, bins)
+    tile_recs = _tile_records(edges, bins, recs)
 
     kernel = functools.partial(
         _raster_kernel_tilelist, frame_width=frame_width, tile_h=tile_h,
@@ -1461,7 +1471,11 @@ def rasterize_pallas_shaded(
         tex = (0, th, tw)
     else:
         atlas, tex = None, None
-    objspecs = (ObjSpec(0, edges.num_triangles, bool(phong), tex),)
+    T = (
+        edges.num_triangles if isinstance(edges, EdgeTable)
+        else int(edges.shape[1])
+    )
+    objspecs = (ObjSpec(0, T, bool(phong), tex),)
     return rasterize_scene_shaded(
         edges, objspecs, transform, lights, height, width, capacity,
         frame_height, frame_width, row0, col0, strategy, tile_h, atlas,
@@ -1488,15 +1502,25 @@ def rasterize_scene_shaded(
     one kernel -> (covered, z(H,W), color_u32(H,W), stats). The G-buffer
     never exists in HBM.
 
-    ``edges`` is the whole scene's concatenated edge table
-    (geometry.vertex.concat_edge_tables) and ``objspecs`` a static tuple of
-    ObjSpec — a MULTI-OBJECT scene renders in one kernel launch (one fixed
-    pallas dispatch per frame instead of one per object; the reference paid
-    one work-queue drain per model, projekt.cpp:3873-3878). ``atlas`` is
-    the packed scene texture atlas (pack_texture_atlas) when any object is
-    textured; it must satisfy the MAX_FUSED_TEX_* limits atlas-wide."""
-    T = edges.num_triangles
-    assert objspecs[-1].gid_hi == T, "objspecs must cover the edge table"
+    ``edges`` is either the scene's concatenated EdgeTable
+    (geometry.vertex.concat_edge_tables) or — the fast path — the
+    channel-major RECORD TABLE (85+, Tp) from geometry.vertex.setup_records
+    (padded rows are zero = never visible; gid lanes are already global).
+    ``objspecs`` is a static tuple of ObjSpec — a MULTI-OBJECT scene renders
+    in one kernel launch (one fixed pallas dispatch per frame instead of one
+    per object; the reference paid one work-queue drain per model,
+    projekt.cpp:3873-3878). ``atlas`` is the packed scene texture atlas
+    (pack_texture_atlas) when any object is textured; it must satisfy the
+    MAX_FUSED_TEX_* limits atlas-wide."""
+    if isinstance(edges, EdgeTable):
+        rec_t = None
+        T = edges.num_triangles
+        assert objspecs[-1].gid_hi == T, "objspecs must cover the edge table"
+    else:
+        rec_t = edges
+        edges = None
+        T = int(rec_t.shape[1])
+        assert objspecs[-1].gid_hi <= T, "objspecs beyond the record table"
     # The f32 gid lane is exact only up to 2**24; beyond it, gid-range
     # object selection and depth-tie breaks would corrupt silently.
     assert T <= MAX_SCENE_TRIANGLES, (
@@ -1533,15 +1557,22 @@ def rasterize_scene_shaded(
     interpret = jax.default_backend() != "tpu"
     scratch = [pltpu.VMEM((len(fields), tile_h, TILE_W), F32)]
 
+    bbox = (
+        triangle_bbox_rows(rec_t, frame_height, frame_width)
+        if rec_t is not None else None
+    )
     if strategy == "mask":
         if capacity is None:
             capacity = min(max(CHUNK_T, -(-T // CHUNK_T) * CHUNK_T), 4096)
         _mask_guard(capacity, tiles_y, tiles_x)
         bins = bin_triangles(
             edges, height, width, tile_h, TILE_W, capacity,
-            frame_height, frame_width, row0, col0,
+            frame_height, frame_width, row0, col0, bbox=bbox,
         )
-        tile_recs = _tile_records(edges, bins)
+        tile_recs = _tile_records(
+            edges, bins,
+            recs=finish_records(rec_t) if rec_t is not None else None,
+        )
         kernel = functools.partial(
             _raster_kernel_tilelist_shaded, frame_width=frame_width,
             fields=fields, objspecs=objspecs, n_lights=n_lights,
@@ -1580,13 +1611,16 @@ def rasterize_scene_shaded(
         color = color[:height, :width]
         stats = {"bins_dropped": bins.n_dropped}
     elif strategy == "sorted":
-        # Row-major table (pallas-transposed) once the per-entry gather is
-        # the dominant cost; the plain pack avoids the extra kernel launch
-        # on small scenes.
-        recs = (
-            pack_records_rowmajor(edges) if T > 65536
-            else pack_records(edges)
-        )
+        # Row-major table: from the channel-major record table it is ONE
+        # trivial pallas transpose (the field math fused into the table
+        # write upstream); the EdgeTable compat path re-assembles columns.
+        if rec_t is not None:
+            recs = finish_records(rec_t)
+        else:
+            recs = (
+                pack_records_rowmajor(edges) if T > 65536
+                else pack_records(edges)
+            )
         expansion, budget_factor = _queue_expansion(tile_h, T)
         # Dense fine-tile grids run the wide (full-lane-width) in-kernel
         # stage A over WIDE_BLK-entry blocks; sparse 32-row grids keep
@@ -1598,7 +1632,7 @@ def rasterize_scene_shaded(
             edges, height, width, tile_h, TILE_W, blk,
             expansion=expansion, budget_factor=budget_factor,
             frame_height=frame_height, frame_width=frame_width,
-            row0=row0, col0=col0,
+            row0=row0, col0=col0, bbox=bbox,
         )
         rec_stream, n_blocks = _queue_stream(edges, qbins, recs, blk)
         maxw = qbins.wi_tile.shape[0]
@@ -1615,7 +1649,7 @@ def rasterize_scene_shaded(
             qbins.n_large > 0,
             lambda: count_subset_per_tile(
                 qbins.large_ids, edges, height, width, tile_h, TILE_W,
-                frame_height, frame_width, row0, col0,
+                frame_height, frame_width, row0, col0, bbox=bbox,
             ),
             lambda: jnp.zeros((ntiles,), jnp.int32),
         )
@@ -1708,9 +1742,16 @@ def rasterize_pallas(
     strategy: 'mask' (small scenes), 'sorted' (scales to millions of
     triangles), or 'auto'. ``capacity`` only applies to the mask strategy;
     (row0, col0)/(frame_height, frame_width) support rendering a local
-    sub-rect of a larger frame (mesh sharding).
+    sub-rect of a larger frame (mesh sharding). ``edges`` may be a
+    channel-major record table (85+, Tp) instead of an EdgeTable, exactly
+    as in rasterize_scene_shaded.
     """
-    T = edges.num_triangles
+    if isinstance(edges, EdgeTable):
+        rec_t = None
+        T = edges.num_triangles
+    else:
+        rec_t, edges = edges, None
+        T = int(rec_t.shape[1])
     if frame_height is None:
         frame_height = height
     if frame_width is None:
@@ -1719,6 +1760,10 @@ def rasterize_pallas(
         strategy = "sorted" if T > AUTO_SORTED_THRESHOLD else "mask"
     if tile_h is None:
         tile_h = _pick_tile_h(T)
+    bbox = (
+        triangle_bbox_rows(rec_t, frame_height, frame_width)
+        if rec_t is not None else None
+    )
 
     if strategy == "mask":
         if capacity is None:
@@ -1728,20 +1773,24 @@ def rasterize_pallas(
             capacity = min(max(CHUNK_T, -(-T // CHUNK_T) * CHUNK_T), 4096)
         bins = bin_triangles(
             edges, height, width, tile_h, TILE_W, capacity,
-            frame_height, frame_width, row0, col0,
+            frame_height, frame_width, row0, col0, bbox=bbox,
         )
         gid, gbuf = raster_pass(
-            edges, bins, height, width, frame_width, row0, col0, tile_h
+            edges, bins, height, width, frame_width, row0, col0, tile_h,
+            recs=finish_records(rec_t) if rec_t is not None else None,
         )
         stats = {"bins_dropped": bins.n_dropped}
     elif strategy == "sorted":
-        recs = pack_records(edges)
+        recs = (
+            finish_records(rec_t) if rec_t is not None
+            else pack_records(edges)
+        )
         expansion, budget_factor = _queue_expansion(tile_h, T)
         qbins = bin_triangles_queue(
             edges, height, width, tile_h, TILE_W, QUEUE_BLK,
             expansion=expansion, budget_factor=budget_factor,
             frame_height=frame_height, frame_width=frame_width,
-            row0=row0, col0=col0,
+            row0=row0, col0=col0, bbox=bbox,
         )
         gid, gbuf = raster_pass_queue(
             edges, qbins, height, width, frame_width, row0, col0,

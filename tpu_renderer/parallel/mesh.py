@@ -52,30 +52,31 @@ from ..ops.shading import shade
 F32 = jnp.float32
 
 
+def _pad_triangle_axis(obj: RenderObject, pad_t: int) -> RenderObject:
+    """Append ``pad_t`` degenerate (all-zero => backface-culled) triangles
+    along the minor triangle axis of every (C, 3, T) soup array."""
+    if pad_t == 0:
+        return obj
+
+    def pad(a):
+        return jnp.pad(a, ((0, 0), (0, 0), (0, pad_t)))
+
+    return obj._replace(
+        vertices=pad(obj.vertices),
+        colors=pad(obj.colors),
+        normals=pad(obj.normals),
+        uvs=pad(obj.uvs),
+    )
+
+
 def pad_scene_triangles(scene, multiple: int):
     """Pad each object's triangle soup to a multiple (degenerate triangles:
     all-zero vertices are backface-culled) so the soup splits evenly over
     the 'tr' axis."""
     out = []
     for obj, cfg in scene:
-        v = obj.vertices.shape[0]
-        t = v // 3
-        pad_t = (-t) % multiple
-        if pad_t:
-            pv = pad_t * 3
-            obj = RenderObject(
-                p=obj.p,
-                vertices=jnp.concatenate(
-                    [obj.vertices, jnp.zeros((pv, 3), F32)]
-                ),
-                colors=jnp.concatenate([obj.colors, jnp.zeros((pv, 4), F32)]),
-                normals=jnp.concatenate(
-                    [obj.normals, jnp.zeros((pv, 3), F32)]
-                ),
-                uvs=jnp.concatenate([obj.uvs, jnp.zeros((pv, 2), F32)]),
-                texture=obj.texture,
-            )
-        out.append((obj, cfg))
+        pad_t = (-obj.num_triangles) % multiple
+        out.append((_pad_triangle_axis(obj, pad_t), cfg))
     return out
 
 
@@ -157,10 +158,12 @@ def render_scene_geometry_sharded(
 
     have_tiles = ("ty" in mesh.shape) or ("tx" in mesh.shape)
 
+    # Soup arrays are (C, 3, T): the triangle axis (minor) shards over 'tr'.
+    tr_spec = P(None, None, "tr")
     obj_specs = tuple(
         RenderObject(
-            p=P(), vertices=P("tr"), colors=P("tr"), normals=P("tr"),
-            uvs=P("tr"), texture=None if obj.texture is None else P(),
+            p=P(), vertices=tr_spec, colors=tr_spec, normals=tr_spec,
+            uvs=tr_spec, texture=None if obj.texture is None else P(),
         )
         for obj in objs
     )
@@ -171,16 +174,18 @@ def render_scene_geometry_sharded(
         color = jnp.full((lh, lw), jnp.uint32(clear_color))
         depth = jnp.full((lh, lw), DEPTH_CLEAR, F32)
         for obj, cfg in zip(objs, cfgs):
-            edges = setup_triangles(obj, transform, lights, cfg)
             if backend == "pallas":
+                from ..geometry.vertex import setup_records
                 from ..ops.raster_pallas import rasterize_pallas
 
+                rec_t = setup_records(obj, transform, lights, cfg)
                 covered, gbuf, _ = rasterize_pallas(
-                    edges, lh, lw, None, height, width, row0, col0
+                    rec_t, lh, lw, None, height, width, row0, col0
                 )
             else:
                 from ..ops.raster_reference import rasterize_reference
 
+                edges = setup_triangles(obj, transform, lights, cfg)
                 covered, gbuf = rasterize_reference(
                     edges, lh, lw, width, row0, col0
                 )
@@ -268,17 +273,7 @@ def render_scene_object_sharded(
     # Pad every soup to the max triangle count, then pad the object count to
     # a multiple of n_obj with fully degenerate (never-visible) objects.
     max_t = max(o.num_triangles for o in objs)
-    padded = []
-    for o in objs:
-        pv = (max_t - o.num_triangles) * 3
-        padded.append(RenderObject(
-            p=o.p,
-            vertices=jnp.concatenate([o.vertices, jnp.zeros((pv, 3), F32)]),
-            colors=jnp.concatenate([o.colors, jnp.zeros((pv, 4), F32)]),
-            normals=jnp.concatenate([o.normals, jnp.zeros((pv, 3), F32)]),
-            uvs=jnp.concatenate([o.uvs, jnp.zeros((pv, 2), F32)]),
-            texture=o.texture,
-        ))
+    padded = [_pad_triangle_axis(o, max_t - o.num_triangles) for o in objs]
     pad_o = (-len(padded)) % n_obj
     for _ in range(pad_o):
         z = padded[0]

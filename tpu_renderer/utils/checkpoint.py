@@ -29,14 +29,20 @@ def save_scene(path, scene, transform: ProjectiveTransform,
 
     scene: list of (RenderObject, ObjectConfig).
     """
+    from ..core.types import classic_arrays
+
     blobs = {}
     meta = []
     for i, (obj, cfg) in enumerate(scene):
+        # Serialize in the classic (V, C) vertex-major form — a stable
+        # on-disk format independent of the device layout; make_object
+        # converts back on load.
+        classic = classic_arrays(obj)
         blobs[f"obj{i}_p"] = np.asarray(obj.p)
-        blobs[f"obj{i}_vertices"] = np.asarray(obj.vertices)
-        blobs[f"obj{i}_colors"] = np.asarray(obj.colors)
-        blobs[f"obj{i}_normals"] = np.asarray(obj.normals)
-        blobs[f"obj{i}_uvs"] = np.asarray(obj.uvs)
+        blobs[f"obj{i}_vertices"] = classic["vertices"]
+        blobs[f"obj{i}_colors"] = classic["colors"]
+        blobs[f"obj{i}_normals"] = classic["normals"]
+        blobs[f"obj{i}_uvs"] = classic["uvs"]
         if obj.texture is not None:
             blobs[f"obj{i}_texture"] = np.asarray(obj.texture)
         meta.append(

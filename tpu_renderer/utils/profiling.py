@@ -80,9 +80,13 @@ def stage_breakdown(obj, cfg, transform, lights, height: int, width: int,
 
     from ..core.math import pack_argb
     from ..geometry.transform import rotate_object, rotation_y
-    from ..geometry.vertex import setup_triangles
+    from ..geometry.vertex import setup_records
     from ..ops import raster_pallas as rp
-    from ..ops.binning import bin_triangles, bin_triangles_queue
+    from ..ops.binning import (
+        bin_triangles,
+        bin_triangles_queue,
+        triangle_bbox_rows,
+    )
     from ..ops.shading import shade
 
     T = obj.num_triangles
@@ -111,8 +115,8 @@ def stage_breakdown(obj, cfg, transform, lights, height: int, width: int,
         return (time.perf_counter() - t0) / frames * 1e3
 
     def p_setup(o):
-        e = setup_triangles(o, transform, lights, cfg)
-        return jnp.sum(e.x0)
+        rec_t = setup_records(o, transform, lights, cfg)
+        return jnp.sum(rec_t[3])  # the x0 lane rows
 
     # Mirror rasterize_scene_shaded's actual sorted-path parameters so the
     # deltas attribute to the stages the real pipeline runs.
@@ -120,24 +124,27 @@ def stage_breakdown(obj, cfg, transform, lights, height: int, width: int,
     blk = rp.WIDE_BLK if tile_h <= 8 else rp.QUEUE_BLK
 
     def p_bin(o):
-        e = setup_triangles(o, transform, lights, cfg)
+        rec_t = setup_records(o, transform, lights, cfg)
+        bbox = triangle_bbox_rows(rec_t, height, width)
         if strategy == "mask":
-            b = bin_triangles(e, height, width, tile_h, rp.TILE_W,
-                              min(max(rp.CHUNK_T, T), 4096))
+            b = bin_triangles(None, height, width, tile_h, rp.TILE_W,
+                              min(max(rp.CHUNK_T, T), 4096), bbox=bbox)
             return jnp.sum(b.counts).astype(jnp.float32)
-        q = bin_triangles_queue(e, height, width, tile_h, rp.TILE_W, blk,
-                                expansion=exp, budget_factor=bf)
+        q = bin_triangles_queue(None, height, width, tile_h, rp.TILE_W,
+                                blk, expansion=exp, budget_factor=bf,
+                                bbox=bbox)
         return jnp.sum(q.counts).astype(jnp.float32)
 
     def p_stream(o):
-        e = setup_triangles(o, transform, lights, cfg)
+        rec_t = setup_records(o, transform, lights, cfg)
+        bbox = triangle_bbox_rows(rec_t, height, width)
         if strategy == "mask":
             return p_bin(o)  # no separate stream stage
-        q = bin_triangles_queue(e, height, width, tile_h, rp.TILE_W, blk,
-                                expansion=exp, budget_factor=bf)
-        recs = (rp.pack_records_rowmajor(e) if T > 65536
-                else rp.pack_records(e))
-        stream, _ = rp._queue_stream(e, q, recs, blk)
+        q = bin_triangles_queue(None, height, width, tile_h, rp.TILE_W,
+                                blk, expansion=exp, budget_factor=bf,
+                                bbox=bbox)
+        recs = rp.finish_records(rec_t)
+        stream, _ = rp._queue_stream(None, q, recs, blk)
         return jnp.sum(stream[:, :, 0])
 
     # Untextured configs run the fully-fused kernel (raster + shade in one
@@ -145,26 +152,26 @@ def stage_breakdown(obj, cfg, transform, lights, height: int, width: int,
     fused = not cfg.textured
 
     def p_raster(o):
-        e = setup_triangles(o, transform, lights, cfg)
+        rec_t = setup_records(o, transform, lights, cfg)
         if fused:
             covered, z, color, _ = rp.rasterize_pallas_shaded(
-                e, transform, lights, cfg.phong, height, width,
+                rec_t, transform, lights, cfg.phong, height, width,
                 strategy=strategy, tile_h=tile_h,
             )
             return jnp.sum(jnp.where(covered, z, 0.0)) + (
                 color[0, 0] & 1
             ).astype(jnp.float32)
         covered, gbuf, _ = rp.rasterize_pallas(
-            e, height, width, strategy=strategy, tile_h=tile_h
+            rec_t, height, width, strategy=strategy, tile_h=tile_h
         )
         return jnp.sum(jnp.where(covered, gbuf[0], 0.0))
 
     def p_shade(o):
         if fused:
             return p_raster(o)  # shading already inside the kernel
-        e = setup_triangles(o, transform, lights, cfg)
+        rec_t = setup_records(o, transform, lights, cfg)
         covered, gbuf, _ = rp.rasterize_pallas(
-            e, height, width, strategy=strategy, tile_h=tile_h
+            rec_t, height, width, strategy=strategy, tile_h=tile_h
         )
         rgba, covered = shade(covered, gbuf, transform, lights, cfg,
                               obj.texture, 0, 0)
