@@ -132,6 +132,27 @@ def test_object_sharded_composes_with_tiles(eight_devices):
                                   np.asarray(fb0.depth))
 
 
+def test_object_sharded_heterogeneous_configs(eight_devices):
+    """Mixed-material scene (config 5: Phong + Gouraud + textured) under an
+    ('obj','ty') mesh — objects group by config internally; the key-plane
+    fold must reproduce single-device submission order bit-exactly."""
+    from tpu_renderer.parallel.mesh import render_scene_object_sharded
+
+    scene_j, tr, li = build(5)
+    assert len({cfg for _, cfg in scene_j}) > 1  # genuinely heterogeneous
+    fb0 = render_scene(
+        make_framebuffer(H, W), scene_j, tr, li, backend="reference"
+    )
+    mesh = Mesh(eight_devices.reshape(4, 2), ("obj", "ty"))
+    fb1 = render_scene_object_sharded(
+        scene_j, tr, li, H, W, mesh, backend="reference"
+    )
+    np.testing.assert_array_equal(np.asarray(fb1.color),
+                                  np.asarray(fb0.color))
+    np.testing.assert_array_equal(np.asarray(fb1.depth),
+                                  np.asarray(fb0.depth))
+
+
 def test_graft_entry_points(eight_devices):
     import __graft_entry__ as g
 

@@ -51,6 +51,20 @@ from ..ops.shading import shade
 
 F32 = jnp.float32
 
+# Winner-key plane sentinel: no object has written this pixel. Any real
+# object index compares smaller, so the tie-break fold leaves untouched
+# pixels to the clear color.
+_NO_WINNER = 2 ** 31 - 1
+
+
+def _tile_out_spec(mesh: Mesh):
+    """Framebuffer PartitionSpec naming only the tile axes the mesh has
+    (a spec may not reference absent axes — ('obj','ty') has no 'tx')."""
+    return P(
+        "ty" if "ty" in mesh.shape else None,
+        "tx" if "tx" in mesh.shape else None,
+    )
+
 
 def _pad_triangle_axis(obj: RenderObject, pad_t: int) -> RenderObject:
     """Append ``pad_t`` degenerate (all-zero => backface-culled) triangles
@@ -140,12 +154,19 @@ def render_scene_geometry_sharded(
 ) -> Framebuffer:
     """Triangles sharded over 'tr' (optionally x tiles over 'ty'/'tx').
 
-    Each device draws its triangle shard into its (sub-)frame; shards are
-    combined per object with an all-gather over 'tr' + a depth fold that
-    keeps the reference's submission-order tie rule: since shard s owns the
-    contiguous triangle range [s*Ts, (s+1)*Ts), smaller shard index ==
-    earlier triangles, and within a shard the local winner already is the
-    earliest — so folding shards in index order with strict > is exact.
+    Each device draws its triangle shard of EVERY object into a local
+    (z, color, object-key) accumulator, then shards combine with ONE
+    all-gather over 'tr' per frame — the collective count is independent
+    of the scene's object count (a dozen-object scene used to pay a dozen
+    ICI round-trips per frame).
+
+    The fold keeps the reference's submission-order depth rule exactly:
+    the key plane records each pixel's winning OBJECT index, so the
+    cross-shard fold resolves equal-z pixels to the smaller key (earlier
+    object). For equal z AND equal key (one object's triangles split
+    across shards), folding in ascending shard order with strict > keeps
+    the earlier shard — and shard s owns the contiguous triangle range
+    [s*Ts, (s+1)*Ts), so the earlier shard IS the earlier triangle.
     """
     n_tr = mesh.shape["tr"]
     ny = mesh.shape.get("ty", 1)
@@ -173,7 +194,8 @@ def render_scene_geometry_sharded(
         col0 = (jax.lax.axis_index("tx") * lw) if nx > 1 else 0
         color = jnp.full((lh, lw), jnp.uint32(clear_color))
         depth = jnp.full((lh, lw), DEPTH_CLEAR, F32)
-        for obj, cfg in zip(objs, cfgs):
+        okey = jnp.full((lh, lw), _NO_WINNER, jnp.int32)
+        for i, (obj, cfg) in enumerate(zip(objs, cfgs)):
             if backend == "pallas":
                 from ..geometry.vertex import setup_records
                 from ..ops.raster_pallas import rasterize_pallas
@@ -196,21 +218,31 @@ def render_scene_geometry_sharded(
             packed = pack_argb(rgba)
             z = jnp.where(covered, gbuf[0], DEPTH_CLEAR)
 
-            # Combine shards over ICI: all-gather (z, color), fold in shard
-            # order (earlier shard keeps depth ties).
-            z_all = jax.lax.all_gather(z, "tr")  # (n_tr, lh, lw)
-            c_all = jax.lax.all_gather(packed, "tr")
-            obj_z = jnp.full_like(z, DEPTH_CLEAR)
-            obj_c = jnp.zeros_like(packed)
-            for s in range(n_tr):
-                win = z_all[s] > obj_z
-                obj_z = jnp.where(win, z_all[s], obj_z)
-                obj_c = jnp.where(win, c_all[s], obj_c)
+            # Local merge in submission order: strict > keeps the earlier
+            # object on ties (first writer), exactly the single-device rule.
+            win = z > depth
+            depth = jnp.where(win, z, depth)
+            color = jnp.where(win, packed, color)
+            okey = jnp.where(win, jnp.int32(i), okey)
 
-            win = obj_z > depth
-            depth = jnp.where(win, obj_z, depth)
-            color = jnp.where(win, obj_c, color)
-        return Framebuffer(color=color, depth=depth)
+        # ONE collective per frame: all-gather (z, color, key) over 'tr'
+        # and fold in ascending shard order — (greater z) wins, equal z
+        # resolves to the smaller object key, and equal z + equal key
+        # (same object split across shards) to the earlier shard.
+        z_all = jax.lax.all_gather(depth, "tr")  # (n_tr, lh, lw)
+        c_all = jax.lax.all_gather(color, "tr")
+        k_all = jax.lax.all_gather(okey, "tr")
+        out_z = jnp.full_like(depth, DEPTH_CLEAR)
+        out_c = jnp.full_like(color, jnp.uint32(clear_color))
+        out_k = jnp.full_like(okey, _NO_WINNER)
+        for s in range(n_tr):
+            win = (z_all[s] > out_z) | (
+                (z_all[s] == out_z) & (k_all[s] < out_k)
+            )
+            out_z = jnp.where(win, z_all[s], out_z)
+            out_c = jnp.where(win, c_all[s], out_c)
+            out_k = jnp.where(win, k_all[s], out_k)
+        return Framebuffer(color=out_c, depth=out_z)
 
     out_color = P("ty", "tx") if have_tiles else P()
     fn = shard_map(
@@ -237,18 +269,20 @@ def render_scene_object_sharded(
     """Whole objects sharded over 'obj' (optionally x tiles over 'ty'/'tx').
 
     The ``DoModelRenderWork`` analog (projekt.cpp:3873-3878): model-level
-    parallel granularity. All objects must share one ObjectConfig (the
-    reference's per-model work items likewise all ran the same draw path);
-    soups are padded to a common triangle count (degenerate all-zero
-    triangles are backface-culled) and stacked on a leading object axis
-    sharded P('obj').
+    parallel granularity for HETEROGENEOUS scenes — objects are grouped
+    internally by (ObjectConfig, texture shape) (the reference's per-model
+    work items likewise carried mixed models, projekt.h:90-98); each group
+    is padded to a common triangle count (degenerate all-zero triangles
+    are backface-culled), stacked on a leading object axis sharded
+    P('obj'), and every device renders its slice of every group.
 
-    Determinism: device s owns the contiguous object range
-    [s*K, (s+1)*K); within a device, objects merge in submission order with
-    the strict-greater z test, and the cross-shard fold runs in shard-index
-    order — so depth ties resolve to the earliest-submitted object exactly
-    as a single-device loop would (unlike the reference, which skipped the
-    ZMask lock on this path and accepted cross-model races).
+    Determinism: a per-pixel KEY plane carries the winning object's
+    submission index. Local merges and the cross-shard fold resolve equal
+    depths to the smaller key — the submission-order rule — regardless of
+    the group-major local draw order; the fold costs ONE all-gather of
+    (z, color, key) per frame, independent of object or group count
+    (unlike the reference, which skipped the ZMask lock on this path and
+    accepted cross-model races).
     """
     n_obj = mesh.shape["obj"]
     ny = mesh.shape.get("ty", 1)
@@ -256,94 +290,139 @@ def render_scene_object_sharded(
     assert height % ny == 0 and width % nx == 0
     lh, lw = height // ny, width // nx
 
-    cfgs = tuple(cfg for _, cfg in scene)
-    assert len(set(cfgs)) == 1, (
-        "'obj' sharding stacks objects on one axis; all objects must share "
-        "one ObjectConfig (group heterogeneous scenes by config)"
-    )
-    cfg = cfgs[0]
-    objs = [obj for obj, _ in scene]
-    textures = [o.texture for o in objs]
-    if cfg.textured:
-        assert all(t is not None for t in textures)
-        assert len({t.shape for t in textures}) == 1, (
-            "'obj' sharding requires a common texture shape"
+    # Group by draw path: config + texture shape (stacking needs uniform
+    # array shapes; the config is a static trace-time switch).
+    group_index: dict = {}
+    groups: list = []  # [(cfg, [(submission_index, obj), ...])]
+    for i, (obj, cfg) in enumerate(scene):
+        tex_shape = (
+            tuple(obj.texture.shape) if obj.texture is not None else None
+        )
+        if cfg.textured:
+            assert obj.texture is not None
+        gk = (cfg, tex_shape)
+        if gk not in group_index:
+            group_index[gk] = len(groups)
+            groups.append((cfg, []))
+        groups[group_index[gk]][1].append((i, obj))
+
+    def degenerate_like(o: RenderObject) -> RenderObject:
+        return RenderObject(
+            p=jnp.zeros((3,), F32),
+            vertices=jnp.zeros_like(o.vertices),
+            colors=jnp.zeros_like(o.colors),
+            normals=jnp.zeros_like(o.normals),
+            uvs=jnp.zeros_like(o.uvs),
+            texture=o.texture,
         )
 
-    # Pad every soup to the max triangle count, then pad the object count to
-    # a multiple of n_obj with fully degenerate (never-visible) objects.
-    max_t = max(o.num_triangles for o in objs)
-    padded = [_pad_triangle_axis(o, max_t - o.num_triangles) for o in objs]
-    pad_o = (-len(padded)) % n_obj
-    for _ in range(pad_o):
-        z = padded[0]
-        padded.append(RenderObject(
-            p=jnp.zeros((3,), F32),
-            vertices=jnp.zeros_like(z.vertices),
-            colors=jnp.zeros_like(z.colors),
-            normals=jnp.zeros_like(z.normals),
-            uvs=jnp.zeros_like(z.uvs),
-            texture=z.texture,
-        ))
-    n_local = len(padded) // n_obj
+    # Per group: pad soups to the group max, pad the object count to a
+    # multiple of n_obj, stack, and record each slot's submission key
+    # (_NO_WINNER for padding slots — they never draw a pixel anyway).
+    stacked_groups = []  # (cfg, stacked RenderObject, keys (n,) static)
+    for cfg, members in groups:
+        max_t = max(o.num_triangles for _, o in members)
+        padded = [
+            (i, _pad_triangle_axis(o, max_t - o.num_triangles))
+            for i, o in members
+        ]
+        for _ in range((-len(padded)) % n_obj):
+            padded.append((_NO_WINNER, degenerate_like(padded[0][1])))
+        keys = tuple(i for i, _ in padded)
+        objs = [o for _, o in padded]
+        stacked = RenderObject(
+            p=jnp.stack([o.p for o in objs]),
+            vertices=jnp.stack([o.vertices for o in objs]),
+            colors=jnp.stack([o.colors for o in objs]),
+            normals=jnp.stack([o.normals for o in objs]),
+            uvs=jnp.stack([o.uvs for o in objs]),
+            texture=(jnp.stack([o.texture for o in objs])
+                     if objs[0].texture is not None else None),
+        )
+        stacked_groups.append((cfg, stacked, keys))
 
-    stacked = RenderObject(
-        p=jnp.stack([o.p for o in padded]),
-        vertices=jnp.stack([o.vertices for o in padded]),
-        colors=jnp.stack([o.colors for o in padded]),
-        normals=jnp.stack([o.normals for o in padded]),
-        uvs=jnp.stack([o.uvs for o in padded]),
-        texture=(jnp.stack([o.texture for o in padded])
-                 if cfg.textured else None),
+    obj_specs = tuple(
+        RenderObject(
+            p=P("obj"), vertices=P("obj"), colors=P("obj"),
+            normals=P("obj"), uvs=P("obj"),
+            texture=P("obj") if stacked.texture is not None else None,
+        )
+        for _, stacked, _ in stacked_groups
     )
-    obj_spec = RenderObject(
-        p=P("obj"), vertices=P("obj"), colors=P("obj"), normals=P("obj"),
-        uvs=P("obj"), texture=P("obj") if cfg.textured else None,
+    static_cfg_keys = tuple(
+        (cfg, keys) for cfg, _, keys in stacked_groups
     )
-    have_tiles = ("ty" in mesh.shape) or ("tx" in mesh.shape)
-
-    def per_device(stacked, transform, lights):
+    def per_device(stacked_list, transform, lights):
         row0 = (jax.lax.axis_index("ty") * lh) if ny > 1 else 0
         col0 = (jax.lax.axis_index("tx") * lw) if nx > 1 else 0
+        shard = jax.lax.axis_index("obj")
         color = jnp.full((lh, lw), jnp.uint32(clear_color))
         depth = jnp.full((lh, lw), DEPTH_CLEAR, F32)
-        for i in range(n_local):
-            obj = RenderObject(
-                p=stacked.p[i],
-                vertices=stacked.vertices[i],
-                colors=stacked.colors[i],
-                normals=stacked.normals[i],
-                uvs=stacked.uvs[i],
-                texture=(stacked.texture[i] if cfg.textured else None),
-            )
-            fb = render_object(
-                Framebuffer(color=color, depth=depth), obj, transform,
-                lights, cfg, backend, frame_height=height,
-                frame_width=width, row0=row0, col0=col0,
-            )
-            color, depth = fb.color, fb.depth
+        okey = jnp.full((lh, lw), _NO_WINNER, jnp.int32)
+        clear = Framebuffer(
+            color=jnp.full((lh, lw), jnp.uint32(clear_color)),
+            depth=jnp.full((lh, lw), DEPTH_CLEAR, F32),
+        )
+        for g, ((cfg, keys), stacked) in enumerate(
+            zip(static_cfg_keys, stacked_list)
+        ):
+            n_local = len(keys) // n_obj
+            # This device's slot i holds submission key keys[shard*K + i]
+            # — a traced gather over the static key table.
+            key_tab = jnp.asarray(keys, jnp.int32)
+            for i in range(n_local):
+                obj = RenderObject(
+                    p=stacked.p[i],
+                    vertices=stacked.vertices[i],
+                    colors=stacked.colors[i],
+                    normals=stacked.normals[i],
+                    uvs=stacked.uvs[i],
+                    texture=(stacked.texture[i]
+                             if stacked.texture is not None else None),
+                )
+                fb = render_object(
+                    clear, obj, transform, lights, cfg, backend,
+                    frame_height=height, frame_width=width, row0=row0,
+                    col0=col0,
+                )
+                k = key_tab[shard * n_local + i]
+                covered = fb.depth > DEPTH_CLEAR
+                # Key-aware merge: groups draw out of submission order
+                # locally, so equal depths resolve by key, not draw order.
+                win = (fb.depth > depth) | (
+                    covered & (fb.depth == depth) & (k < okey)
+                )
+                depth = jnp.where(win, fb.depth, depth)
+                color = jnp.where(win, fb.color, color)
+                okey = jnp.where(win, k, okey)
 
-        # Fold shards in shard order over ICI: earlier shard = earlier
-        # objects keep depth ties (strict >).
+        # ONE collective per frame: shards fold by (z, key) in ascending
+        # shard order ('obj' never splits one object across shards, so
+        # equal z + equal key cannot disagree on color).
         z_all = jax.lax.all_gather(depth, "obj")  # (n_obj, lh, lw)
         c_all = jax.lax.all_gather(color, "obj")
+        k_all = jax.lax.all_gather(okey, "obj")
         out_z = jnp.full_like(depth, DEPTH_CLEAR)
         out_c = jnp.full((lh, lw), jnp.uint32(clear_color))
+        out_k = jnp.full_like(okey, _NO_WINNER)
         for s in range(n_obj):
-            win = z_all[s] > out_z
+            win = (z_all[s] > out_z) | (
+                (z_all[s] == out_z) & (k_all[s] < out_k)
+            )
             out_z = jnp.where(win, z_all[s], out_z)
             out_c = jnp.where(win, c_all[s], out_c)
+            out_k = jnp.where(win, k_all[s], out_k)
         return Framebuffer(color=out_c, depth=out_z)
 
-    out_spec = P("ty", "tx") if have_tiles else P()
+    out_spec = _tile_out_spec(mesh)
     fn = shard_map(
         per_device,
         mesh=mesh,
-        in_specs=(obj_spec, P(), P()),
+        in_specs=(obj_specs, P(), P()),
         out_specs=Framebuffer(color=out_spec, depth=out_spec),
         check_vma=False,
     )
-    return fn(stacked, transform, lights)
+    return fn(tuple(s for _, s, _ in stacked_groups), transform, lights)
 
 
 def gather_framebuffer(fb: Framebuffer, mesh: Mesh) -> Framebuffer:

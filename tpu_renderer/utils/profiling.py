@@ -116,7 +116,11 @@ def stage_breakdown(obj, cfg, transform, lights, height: int, width: int,
 
     def p_setup(o):
         rec_t = setup_records(o, transform, lights, cfg)
-        return jnp.sum(rec_t[3])  # the x0 lane rows
+        # Consume EVERY field row: a partial reduction lets XLA dead-code
+        # the untouched field math and mis-attributes it to later stages
+        # (observed: "setup" at 1M read 15.8 ms while binning absorbed the
+        # color/normal rows it never needs).
+        return jnp.sum(rec_t * jnp.float32(1e-12))
 
     # Mirror rasterize_scene_shaded's actual sorted-path parameters so the
     # deltas attribute to the stages the real pipeline runs.
@@ -129,11 +133,13 @@ def stage_breakdown(obj, cfg, transform, lights, height: int, width: int,
         if strategy == "mask":
             b = bin_triangles(None, height, width, tile_h, rp.TILE_W,
                               min(max(rp.CHUNK_T, T), 4096), bbox=bbox)
-            return jnp.sum(b.counts).astype(jnp.float32)
+            return jnp.sum(b.counts).astype(jnp.float32) + p_setup(o)
         q = bin_triangles_queue(None, height, width, tile_h, rp.TILE_W,
                                 blk, expansion=exp, budget_factor=bf,
                                 bbox=bbox)
-        return jnp.sum(q.counts).astype(jnp.float32)
+        # p_setup's full-record term keeps each prefix's upstream work
+        # identical (no DCE skew in the deltas).
+        return jnp.sum(q.counts).astype(jnp.float32) + p_setup(o)
 
     def p_stream(o):
         rec_t = setup_records(o, transform, lights, cfg)
@@ -145,7 +151,13 @@ def stage_breakdown(obj, cfg, transform, lights, height: int, width: int,
                                 bbox=bbox)
         recs = rp.finish_records(rec_t)
         stream, _ = rp._queue_stream(None, q, recs, blk)
-        return jnp.sum(stream[:, :, 0])
+        # Consume every gathered lane (a single-lane slice lets XLA narrow
+        # the row gather itself) + the full upstream terms.
+        return (
+            jnp.sum(stream * jnp.float32(1e-12))
+            + jnp.sum(q.counts).astype(jnp.float32)
+            + jnp.sum(rec_t * jnp.float32(1e-12))
+        )
 
     # Untextured configs run the fully-fused kernel (raster + shade in one
     # pass); textured configs raster to a G-buffer and shade deferred.
