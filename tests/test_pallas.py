@@ -219,7 +219,9 @@ def test_shade_planes_matches_shade():
 
 def test_fused_texture_matches_deferred_path():
     """The in-kernel MXU texture sampler must agree with the deferred XLA
-    path (gbuf + sample_texture) pixel-for-pixel on the CPU backend."""
+    path (gbuf + sample_texture) pixel-for-pixel on the CPU backend.
+    Config 3 is BILINEAR (the BASELINE contract), so this exercises the
+    4-texel one-hot + lerp sampler against shading.sample_texture."""
     import jax.numpy as jnp
     from tpu_renderer.core.math import pack_argb
     from tpu_renderer.core.types import make_framebuffer
@@ -229,10 +231,12 @@ def test_fused_texture_matches_deferred_path():
     scene_g, tr_d, li_d = scenes.baseline_scene(3, H, W)
     scene_j, tr, li = scenes.to_jax_scene(scene_g, tr_d, li_d)
     obj, cfg = scene_j[0]
+    assert cfg.filter_mode == "bilinear"
     edges = setup_triangles(obj, tr, li, cfg)
 
     covered_f, z_f, color_f, _ = rasterize_pallas_shaded(
-        edges, tr, li, cfg.phong, H, W, texture=obj.texture
+        edges, tr, li, cfg.phong, H, W, texture=obj.texture,
+        filter_mode=cfg.filter_mode,
     )
 
     from tpu_renderer.ops.raster_pallas import rasterize_pallas
@@ -248,6 +252,37 @@ def test_fused_texture_matches_deferred_path():
     zf, zd = np.asarray(z_f), np.asarray(gbuf[0])
     ok = (zf[m] == zd[m]) | np.isclose(zf[m], zd[m], rtol=1e-6, atol=0.0)
     assert ok.mean() > 0.999
+
+
+def test_fused_mixed_filter_scene_vs_reference():
+    """A scene mixing nearest and bilinear textured objects renders in ONE
+    fused kernel (nearest rides the bilinear sampler as a zero-t lerp);
+    output must match the reference backend's per-object deferred path."""
+    from tpu_renderer.engine.renderer import _scene_batchable
+    from tpu_renderer.models.primitives import construct_quad
+    from tpu_renderer.models.textures import checkerboard
+
+    tex = checkerboard(32, 32, 4)
+    q = construct_quad(1.2)
+    scene_g = [
+        (dict(p=(-0.35, 0.0, 0.0), **q), {"texture": tex}),
+        (dict(p=(0.45, 0.2, 0.3), **q),
+         {"texture": tex, "filter_mode": "bilinear"}),
+    ]
+    _, tr_d, li_d = scenes.baseline_scene(1, H, W)
+    scene_j, tr, li = scenes.to_jax_scene(scene_g, tr_d, li_d)
+    assert _scene_batchable(scene_j)
+
+    fb_r = render_scene(make_framebuffer(H, W), scene_j, tr, li,
+                        backend="reference")
+    fb_p = render_scene(make_framebuffer(H, W), scene_j, tr, li,
+                        backend="pallas")
+    cr, cp = np.asarray(fb_r.color), np.asarray(fb_p.color)
+    zr, zp = np.asarray(fb_r.depth), np.asarray(fb_p.depth)
+    assert (cr == cp).mean() > 0.998
+    ok = (zr == zp) | np.isclose(zr, zp, rtol=1e-6, atol=0.0)
+    assert 1.0 - ok.mean() <= 0.005
+    assert (cr != 0).any()
 
 
 @pytest.mark.parametrize("strategy", ["mask", "sorted"])

@@ -73,26 +73,32 @@ def render_object(
     fused_tex = (
         cfg.textured
         and cfg.uv_mode == "scalar"
-        and cfg.filter_mode == "nearest"
+        and cfg.filter_mode in ("nearest", "bilinear")
         and obj.texture is not None
         and _texture_fits_fused(obj.texture)
     )
     if backend == "pallas" and (not cfg.textured or fused_tex):
         # Fully-fused fast path: raster + interpolate + shade + pack in one
         # Pallas kernel; the G-buffer never exists in HBM, and the vertex
-        # stage writes the packed record table directly (setup_records —
-        # no EdgeTable materializes). Small 'scalar'/nearest textures
-        # sample in-kernel via an MXU one-hot contraction (TPU per-element
-        # gathers are pathological); bilinear, 'avx' uv-masking, and large
-        # textures stay on the deferred XLA path.
-        from ..geometry.vertex import setup_records
+        # stage writes the packed record table directly (the fused Pallas
+        # setup kernel above FUSED_SETUP_MIN triangles, the XLA
+        # setup_records chain below — no EdgeTable materializes either
+        # way). Small 'scalar'/nearest textures sample in-kernel via an
+        # MXU one-hot contraction (TPU per-element gathers are
+        # pathological); bilinear, 'avx' uv-masking, and large textures
+        # stay on the deferred XLA path.
         from ..ops.raster_pallas import rasterize_pallas_shaded
+        from ..ops.setup_pallas import setup_for_raster
 
-        rec_t = setup_records(obj, transform, lights, cfg)
+        rec_t = setup_for_raster(
+            obj, transform, lights, cfg,
+            frame_height=frame_height, frame_width=frame_width,
+        )
         covered, z, packed, rstats = rasterize_pallas_shaded(
             rec_t, transform, lights, cfg.phong, height, width, capacity,
             frame_height, frame_width, row0, col0,
             texture=obj.texture if fused_tex else None,
+            filter_mode=cfg.filter_mode,
         )
         if stats is not None:
             stats["bins_dropped"] = (
@@ -109,10 +115,13 @@ def render_object(
             edges, height, width, frame_width, row0, col0
         )
     elif backend == "pallas":
-        from ..geometry.vertex import setup_records
         from ..ops.raster_pallas import rasterize_pallas
+        from ..ops.setup_pallas import setup_for_raster
 
-        rec_t = setup_records(obj, transform, lights, cfg)
+        rec_t = setup_for_raster(
+            obj, transform, lights, cfg,
+            frame_height=frame_height, frame_width=frame_width,
+        )
         covered, gbuf, rstats = rasterize_pallas(
             rec_t, height, width, capacity, frame_height, frame_width,
             row0, col0,
@@ -141,7 +150,7 @@ def _obj_fusable(obj: RenderObject, cfg: ObjectConfig) -> bool:
         return True
     return (
         cfg.uv_mode == "scalar"
-        and cfg.filter_mode == "nearest"
+        and cfg.filter_mode in ("nearest", "bilinear")
         and obj.texture is not None
         and _texture_fits_fused(obj.texture)
     )
@@ -182,17 +191,51 @@ def _render_scene_batched(
         pack_texture_atlas,
         rasterize_scene_shaded,
     )
+    from ..ops.setup_pallas import (
+        FUSED_SETUP_MIN,
+        SetupOut,
+        setup_for_raster,
+    )
 
     height, width = framebuffer.height, framebuffer.width
+    if frame_height is None:
+        frame_height = height
+    if frame_width is None:
+        frame_width = width
+    # One setup form for the whole scene (the concatenated table must be
+    # homogeneous): the fused Pallas setup when the scene is big enough
+    # for the XLA assembly tax to matter, the XLA chain otherwise.
+    fused_setup = (
+        sum(obj.num_triangles for obj, _ in scene) >= FUSED_SETUP_MIN
+    )
     textures, tex_slot = [], {}
-    rec_ts, raw = [], []
-    objspecs, gid = [], 0
+    rec_ts, bboxes, raw = [], [], []
+    objspecs, gid, true_t = [], 0, 0
     for obj, cfg in scene:
         T = obj.num_triangles
-        rt = setup_records(obj, transform, lights, cfg, gid0=gid)
-        pad = -T % 128
-        if pad:
-            rt = jnp.pad(rt, ((0, 0), (0, pad)))
+        if fused_setup:
+            out = setup_for_raster(
+                obj, transform, lights, cfg, gid0=gid,
+                frame_height=frame_height, frame_width=frame_width,
+            )
+            if isinstance(out, SetupOut):
+                rt, pad = out.recs, out.recs.shape[0] - T
+                bboxes.append(out.bbox)
+            else:  # small object below the kernel's own threshold
+                from ..ops.binning import triangle_bbox_rows
+                from ..ops.raster_pallas import finish_records
+
+                pad = -T % 128
+                rt_cm = jnp.pad(out, ((0, 0), (0, pad)))
+                rt = finish_records(rt_cm)[: T + pad]
+                bboxes.append(
+                    triangle_bbox_rows(rt_cm, frame_height, frame_width)
+                )
+        else:
+            rt = setup_records(obj, transform, lights, cfg, gid0=gid)
+            pad = -T % 128
+            if pad:
+                rt = jnp.pad(rt, ((0, 0), (0, pad)))
         rec_ts.append(rt)
         slot = None
         if cfg.textured:
@@ -201,21 +244,37 @@ def _render_scene_batched(
                 tex_slot[key] = len(textures)
                 textures.append(obj.texture)
             slot = tex_slot[key]
-        raw.append((cfg.phong, slot, gid, T))
+        raw.append((cfg.phong, slot, gid, T, cfg.filter_mode))
         gid += T + pad
+        true_t += T
     if textures:
         atlas, offs = pack_texture_atlas(textures)
     else:
         atlas, offs = None, []
-    for phong, slot, gid_lo, T in raw:
+    for phong, slot, gid_lo, T, filt in raw:
         tex = None
         if slot is not None:
             t = textures[slot]
-            tex = (offs[slot], int(t.shape[0]), int(t.shape[1]))
+            tex = (offs[slot], int(t.shape[0]), int(t.shape[1])) + (
+                ("bilinear",) if filt == "bilinear" else ()
+            )
         objspecs.append(ObjSpec(gid_lo, gid_lo + T, bool(phong), tex))
-    rec_t = (
-        jnp.concatenate(rec_ts, axis=1) if len(rec_ts) > 1 else rec_ts[0]
-    )
+    if fused_setup:
+        rec_t = SetupOut(
+            recs=(jnp.concatenate(rec_ts, axis=0) if len(rec_ts) > 1
+                  else rec_ts[0]),
+            bbox=tuple(
+                jnp.concatenate(parts, axis=0) if len(rec_ts) > 1
+                else parts[0]
+                for parts in zip(*bboxes)
+            ),
+            num_triangles=true_t,
+        )
+    else:
+        rec_t = (
+            jnp.concatenate(rec_ts, axis=1) if len(rec_ts) > 1
+            else rec_ts[0]
+        )
     covered, z, packed, rstats = rasterize_scene_shaded(
         rec_t, tuple(objspecs), transform, lights, height, width, capacity,
         frame_height, frame_width, row0, col0, atlas=atlas,

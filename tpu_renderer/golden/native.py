@@ -52,6 +52,7 @@ def _load():
             f32p, f32p, f32p, ctypes.c_int, f32p,  # p, transform, ambient, nl, lights
             u32p, ctypes.c_int, ctypes.c_int,  # texture, th, tw
             ctypes.c_int, ctypes.c_int, ctypes.c_int,  # phong, threads, avx
+            ctypes.c_int,  # filter_bilinear
         ]
         lib.tr_clear.argtypes = [u32p, f32p, ctypes.c_int, ctypes.c_int,
                                  ctypes.c_uint32]
@@ -115,5 +116,6 @@ def render(scene, transform, lights, height, width, clear_color=0,
             verts.shape[0], _f32p(p), _f32p(tr5), _f32p(ambient),
             lp.shape[0], _f32p(l7), texp, th, tw,
             1 if cfg.get("phong") else 0, num_threads, use_avx,
+            1 if cfg.get("filter_mode", "nearest") == "bilinear" else 0,
         )
     return color, depth

@@ -70,11 +70,14 @@ def baseline_scene(config: int, height: int, width: int, angle: float = 0.3):
 
         mesh = rotate_y(construct_teapot(), angle)
         scene = [(dict(p=(0.0, 0.0, 0.0), **mesh), {})]
-    elif config == 3:  # textured mesh
+    elif config == 3:  # textured mesh, perspective-correct UVs, BILINEAR
+        # (BASELINE.json config 3's contract names bilinear sampling; the
+        # fused kernel samples it on the MXU — 4-texel one-hot + lerp.)
         mesh = rotate_y(construct_cube(), angle)
         scene = [
             (dict(p=(0.0, 0.0, 0.0), **mesh),
-             {"texture": checkerboard(64, 64, 8)})
+             {"texture": checkerboard(64, 64, 8),
+              "filter_mode": "bilinear"})
         ]
     elif config == 4:  # phong multi-light
         mesh = construct_sphere()

@@ -119,6 +119,7 @@ struct ObjectData {
   int tex_h, tex_w;
   bool phong;
   bool use_avx;
+  bool bilinear;  // 4-texel lerp (BASELINE config 3's sampling contract)
 };
 
 // Gouraud per-vertex lighting (projekt.cpp:4022-4063).
@@ -224,19 +225,49 @@ int setup_triangle(const ObjectData& obj, const Transform& tr,
   return count;
 }
 
-inline void sample_texture(const ObjectData& obj, float u, float v,
-                           V4* out) {
-  // scalar-path semantics: round, scale by dim-1, clamp (projekt.cpp:429-445)
-  int tx = round_s32(u * (float)(obj.tex_w - 1));
-  int ty = round_s32(v * (float)(obj.tex_h - 1));
-  tx = std::min(std::max(tx, 0), obj.tex_w - 1);
-  ty = std::min(std::max(ty, 0), obj.tex_h - 1);
-  uint32_t texel = obj.texture[ty * obj.tex_w + tx];
+inline void unpack_texel(uint32_t texel, V4* out) {
   const float inv = 1.0f / 255.0f;
   out->a = (float)((texel >> 24) & 0xFF) * inv;
   out->r = (float)((texel >> 16) & 0xFF) * inv;
   out->g = (float)((texel >> 8) & 0xFF) * inv;
   out->b = (float)(texel & 0xFF) * inv;
+}
+
+inline void sample_texture(const ObjectData& obj, float u, float v,
+                           V4* out) {
+  if (obj.bilinear) {
+    // golden.cpu_reference.sample_texture's bilinear branch, identical
+    // float order: frac from the UNCLIPPED floor, indices clipped after,
+    // corners unpacked to [0,1] first, then c0 + t * (c1 - c0) lerps.
+    float tu = u * (float)(obj.tex_w - 1);
+    float tv = v * (float)(obj.tex_h - 1);
+    float x0 = std::floor(tu), y0 = std::floor(tv);
+    float fx = tu - x0, fy = tv - y0;
+    int xi = (int)std::min(std::max(x0, 0.0f), (float)(obj.tex_w - 1));
+    int yi = (int)std::min(std::max(y0, 0.0f), (float)(obj.tex_h - 1));
+    int xi1 = std::min(xi + 1, obj.tex_w - 1);
+    int yi1 = std::min(yi + 1, obj.tex_h - 1);
+    V4 c00, c10, c01, c11;
+    unpack_texel(obj.texture[yi * obj.tex_w + xi], &c00);
+    unpack_texel(obj.texture[yi * obj.tex_w + xi1], &c10);
+    unpack_texel(obj.texture[yi1 * obj.tex_w + xi], &c01);
+    unpack_texel(obj.texture[yi1 * obj.tex_w + xi1], &c11);
+    V4 top{c00.r + fx * (c10.r - c00.r), c00.g + fx * (c10.g - c00.g),
+           c00.b + fx * (c10.b - c00.b), c00.a + fx * (c10.a - c00.a)};
+    V4 bot{c01.r + fx * (c11.r - c01.r), c01.g + fx * (c11.g - c01.g),
+           c01.b + fx * (c11.b - c01.b), c01.a + fx * (c11.a - c01.a)};
+    out->r = top.r + fy * (bot.r - top.r);
+    out->g = top.g + fy * (bot.g - top.g);
+    out->b = top.b + fy * (bot.b - top.b);
+    out->a = top.a + fy * (bot.a - top.a);
+    return;
+  }
+  // scalar-path semantics: round, scale by dim-1, clamp (projekt.cpp:429-445)
+  int tx = round_s32(u * (float)(obj.tex_w - 1));
+  int ty = round_s32(v * (float)(obj.tex_h - 1));
+  tx = std::min(std::max(tx, 0), obj.tex_w - 1);
+  ty = std::min(std::max(ty, 0), obj.tex_h - 1);
+  unpack_texel(obj.texture[ty * obj.tex_w + tx], out);
 }
 
 inline uint32_t pack_argb(V4 c) {  // projekt.cpp:490-493
@@ -601,7 +632,7 @@ void render_object_thread(const ObjectData& obj, const Transform& tr,
 
 extern "C" {
 
-int tr_native_version() { return 1; }
+int tr_native_version() { return 2; }  // v2: + filter_bilinear param
 
 // Render one object over the shared color/depth buffers.
 // transform5 = [distance_above_target, focal, meters_to_pixels, cx, cy]
@@ -613,7 +644,8 @@ void tr_render_object(uint32_t* color, float* depth, int H, int W,
                       const float* transform5, const float* ambient4,
                       int light_count, const float* lights7,
                       const uint32_t* texture, int tex_h, int tex_w,
-                      int phong, int num_threads, int use_avx) {
+                      int phong, int num_threads, int use_avx,
+                      int filter_bilinear) {
   Transform tr{transform5[0], transform5[1], transform5[2], transform5[3],
                transform5[4]};
   std::vector<Light> lights(light_count);
@@ -633,7 +665,7 @@ void tr_render_object(uint32_t* color, float* depth, int H, int W,
                  uvs,     vertex_count,
                  {obj_p[0], obj_p[1], obj_p[2]},
                  texture, tex_h,  tex_w,
-                 phong != 0, avx};
+                 phong != 0, avx, filter_bilinear != 0};
 
   int n = num_threads > 0
               ? num_threads

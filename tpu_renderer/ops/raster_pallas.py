@@ -313,14 +313,21 @@ class ObjSpec(NamedTuple):
 
     gid_[lo,hi): the object's global-triangle-id range in the concatenated
     edge table (geometry.vertex.concat_edge_tables); phong selects per-pixel
-    Blinn-Phong at tile finalize; tex is None or (v_off, th, tw) — the
-    object's texture rows inside the packed scene atlas. Hashable, so it can
-    close over the Pallas kernels as a static."""
+    Blinn-Phong at tile finalize; tex is None or (v_off, th, tw) or
+    (v_off, th, tw, 'bilinear') — the object's texture rows inside the
+    packed scene atlas (+ optional filter mode; default nearest). Hashable,
+    so it can close over the Pallas kernels as a static."""
 
     gid_lo: int
     gid_hi: int
     phong: bool
     tex: tuple | None
+
+    @property
+    def bilinear(self) -> bool:
+        return self.tex is not None and len(self.tex) > 3 and (
+            self.tex[3] == "bilinear"
+        )
 
 
 def _scene_fields(objspecs):
@@ -404,26 +411,65 @@ def _sample_texture_atlas(txi, tyi, tex_ref, ah, aw, tile_h, tile_w):
     the channel-blocked atlas on the MXU (exact: one-hot times ints <= 255,
     f32 accumulate), then a masked sum over the column one-hot picks the
     texel. Returns 4 (R, W) rgba planes in [0, 1]."""
-    oh_v = (
-        tyi[:, :, None]
-        == jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w, ah), 2)
-    ).astype(jnp.bfloat16)  # (R, W, AH)
-    oh_u = (
-        txi[:, :, None]
-        == jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w, aw), 2)
-    ).astype(F32)  # (R, W, AW)
-    inv255 = F32(1.0) / F32(255.0)
     # One contraction across all 4 channel blocks (N = 4*AW keeps the MXU
     # fuller than per-channel N = AW dots); Mosaic requires a 32-bit
     # accumulator, and the f32 result is exact for texel ints <= 255.
-    mid = jax.lax.dot_general(
+    mid = _row_texels(tyi, tex_ref, ah, tile_h, tile_w)
+    return _col_pick(txi, mid, aw, tile_h, tile_w)
+
+
+def _row_texels(tyi, tex_ref, ah, tile_h, tile_w):
+    """(R, W, 4*AW) exact integer texels of atlas row tyi per pixel — the
+    row one-hot MXU contraction shared by nearest and bilinear sampling."""
+    oh_v = (
+        tyi[:, :, None]
+        == jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w, ah), 2)
+    ).astype(jnp.bfloat16)
+    return jax.lax.dot_general(
         oh_v, tex_ref[:], (((2,), (0,)), ((), ())),
         preferred_element_type=F32,
-    )  # (R, W, 4*AW) exact ints
+    )
+
+
+def _col_pick(txi, mid, aw, tile_h, tile_w):
+    """4 rgba planes in [0, 1]: select column txi of each channel block of
+    ``mid`` (_row_texels output) and scale by 1/255 (exact for texel ints,
+    bit-equal to unpack_argb)."""
+    oh_u = (
+        txi[:, :, None]
+        == jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w, aw), 2)
+    ).astype(F32)
+    inv255 = F32(1.0) / F32(255.0)
+    return [
+        jnp.sum(oh_u * mid[:, :, c * aw:(c + 1) * aw], axis=-1) * inv255
+        for c in range(4)
+    ]
+
+
+def _sample_texture_atlas_bilinear(txi0, txi1, tyi0, tyi1, fx, fy, tex_ref,
+                                   ah, aw, tile_h, tile_w):
+    """4-texel bilinear fetch from the scene atlas (BASELINE config 3's
+    contract): the nearest sampler's one-hot MXU trick twice over rows
+    (tyi0, tyi1) and twice over columns (txi0, txi1), then the EXACT lerp
+    of ops.shading.sample_texture's bilinear branch — corners unpack to
+    [0, 1] first, then top/bot = c0 + fx * (c1 - c0), out = top + fy *
+    (bot - top), identical f32 op order. Nearest-mode objects in the same
+    scene ride through with fx = fy = 0 and collapsed indices (a zero-t
+    lerp returns c00 exactly), so one sampler serves mixed scenes.
+
+    Reference texel fetch analog: projekt.cpp:1035-1142 (nearest); the
+    bilinear mode is this framework's documented extension."""
+    mid0 = _row_texels(tyi0, tex_ref, ah, tile_h, tile_w)
+    mid1 = _row_texels(tyi1, tex_ref, ah, tile_h, tile_w)
+    c00 = _col_pick(txi0, mid0, aw, tile_h, tile_w)
+    c10 = _col_pick(txi1, mid0, aw, tile_h, tile_w)
+    c01 = _col_pick(txi0, mid1, aw, tile_h, tile_w)
+    c11 = _col_pick(txi1, mid1, aw, tile_h, tile_w)
     out = []
     for c in range(4):
-        k = jnp.sum(oh_u * mid[:, :, c * aw:(c + 1) * aw], axis=-1)
-        out.append(k * inv255)
+        top = c00[c] + fx * (c10[c] - c00[c])
+        bot = c01[c] + fx * (c11[c] - c01[c])
+        out.append(top + fy * (bot - top))
     return out
 
 
@@ -900,23 +946,57 @@ def _finalize_shade(z, gid, planes, origin, ty, tx, params_ref, objspecs,
         inv_oz = F32(1.0) / planes[uv_off + 2]
         u = jnp.where(tex_mask, inv_oz * planes[uv_off], F32(0.0))
         v = jnp.where(tex_mask, inv_oz * planes[uv_off + 1], F32(0.0))
-        txi = tyi = None
+        any_bilinear = any(o.bilinear for o, _ in tex_objs)
+        zero = jnp.zeros((tile_h, tile_w), F32)
+        txi = tyi = txi1 = tyi1 = fx = fy = None
+
+        def merge(old, new, m):
+            return new if old is None else jnp.where(m, new, old)
+
         for o, m in tex_objs:
-            v_off, th, tw = o.tex
-            txi_o = jnp.clip(
-                round_half_away(u * F32(tw - 1)).astype(jnp.int32), 0, tw - 1
-            )
-            tyi_o = jnp.clip(
-                round_half_away(v * F32(th - 1)).astype(jnp.int32), 0, th - 1
-            ) + v_off
-            if txi is None:
-                txi, tyi = txi_o, tyi_o
+            v_off, th, tw = o.tex[0], o.tex[1], o.tex[2]
+            if o.bilinear:
+                # ops.shading.sample_texture bilinear index math, exact:
+                # frac from the UNCLIPPED floor, indices clipped after.
+                tu = u * F32(tw - 1)
+                tv = v * F32(th - 1)
+                x0 = jnp.floor(tu)
+                y0 = jnp.floor(tv)
+                fx_o, fy_o = tu - x0, tv - y0
+                txi_o = jnp.clip(x0.astype(jnp.int32), 0, tw - 1)
+                tyi_c = jnp.clip(y0.astype(jnp.int32), 0, th - 1)
+                txi1_o = jnp.minimum(txi_o + 1, tw - 1)
+                tyi1_o = jnp.minimum(tyi_c + 1, th - 1) + v_off
+                tyi_o = tyi_c + v_off
             else:
-                txi = jnp.where(m, txi_o, txi)
-                tyi = jnp.where(m, tyi_o, tyi)
+                # 'scalar' nearest (projekt.cpp:429-445); rides the
+                # bilinear sampler as a zero-t lerp when the scene mixes
+                # modes (c00 + 0 * (c10 - c00) == c00 exactly).
+                txi_o = jnp.clip(
+                    round_half_away(u * F32(tw - 1)).astype(jnp.int32),
+                    0, tw - 1,
+                )
+                tyi_o = jnp.clip(
+                    round_half_away(v * F32(th - 1)).astype(jnp.int32),
+                    0, th - 1,
+                ) + v_off
+                txi1_o, tyi1_o, fx_o, fy_o = txi_o, tyi_o, zero, zero
+            txi = merge(txi, txi_o, m)
+            tyi = merge(tyi, tyi_o, m)
+            if any_bilinear:
+                txi1 = merge(txi1, txi1_o, m)
+                tyi1 = merge(tyi1, tyi1_o, m)
+                fx = merge(fx, fx_o, m)
+                fy = merge(fy, fy_o, m)
         ah, aw = _atlas_dims(objspecs)
-        tex_rgba = _sample_texture_atlas(txi, tyi, tex_ref, ah, aw, tile_h,
-                                         tile_w)
+        if any_bilinear:
+            tex_rgba = _sample_texture_atlas_bilinear(
+                txi, txi1, tyi, tyi1, fx, fy, tex_ref, ah, aw, tile_h,
+                tile_w,
+            )
+        else:
+            tex_rgba = _sample_texture_atlas(txi, tyi, tex_ref, ah, aw,
+                                             tile_h, tile_w)
         col = [jnp.where(tex_mask, tex_rgba[c], col[c]) for c in range(4)]
 
     any_phong = nrm_off is not None
@@ -1459,22 +1539,28 @@ def rasterize_pallas_shaded(
     strategy: str = "auto",
     tile_h: int | None = None,
     texture=None,
+    filter_mode: str = "nearest",
 ):
     """Single-object fused fast path (see rasterize_scene_shaded).
 
-    ``texture`` (u32 ARGB, 'scalar'/'nearest' semantics only — the caller
-    gates other modes to the deferred path) enables in-kernel MXU texture
-    sampling; it must satisfy the MAX_FUSED_TEX_* limits."""
+    ``texture`` (u32 ARGB, 'scalar' uv addressing only — the caller gates
+    'avx' uv-masking to the deferred path) enables in-kernel MXU texture
+    sampling (nearest or bilinear per ``filter_mode``); it must satisfy
+    the MAX_FUSED_TEX_* limits."""
     if texture is not None:
         th, tw = int(texture.shape[0]), int(texture.shape[1])
         atlas, _ = pack_texture_atlas([texture])
-        tex = (0, th, tw)
+        tex = (0, th, tw) + (
+            ("bilinear",) if filter_mode == "bilinear" else ()
+        )
     else:
         atlas, tex = None, None
-    T = (
-        edges.num_triangles if isinstance(edges, EdgeTable)
-        else int(edges.shape[1])
-    )
+    from .setup_pallas import SetupOut
+
+    if isinstance(edges, (EdgeTable, SetupOut)):
+        T = edges.num_triangles
+    else:
+        T = int(edges.shape[1])
     objspecs = (ObjSpec(0, T, bool(phong), tex),)
     return rasterize_scene_shaded(
         edges, objspecs, transform, lights, height, width, capacity,
@@ -1502,17 +1588,27 @@ def rasterize_scene_shaded(
     one kernel -> (covered, z(H,W), color_u32(H,W), stats). The G-buffer
     never exists in HBM.
 
-    ``edges`` is either the scene's concatenated EdgeTable
-    (geometry.vertex.concat_edge_tables) or — the fast path — the
-    channel-major RECORD TABLE (85+, Tp) from geometry.vertex.setup_records
-    (padded rows are zero = never visible; gid lanes are already global).
+    ``edges`` is the scene's concatenated EdgeTable
+    (geometry.vertex.concat_edge_tables), the channel-major RECORD TABLE
+    (85+, Tp) from geometry.vertex.setup_records (padded rows are zero =
+    never visible; gid lanes are already global), or — the fastest path —
+    a SetupOut from ops.setup_pallas.setup_for_raster, whose row-major
+    table and bboxes were written directly by the fused setup kernel.
     ``objspecs`` is a static tuple of ObjSpec — a MULTI-OBJECT scene renders
     in one kernel launch (one fixed pallas dispatch per frame instead of one
     per object; the reference paid one work-queue drain per model,
     projekt.cpp:3873-3878). ``atlas`` is the packed scene texture atlas
     (pack_texture_atlas) when any object is textured; it must satisfy the
     MAX_FUSED_TEX_* limits atlas-wide."""
-    if isinstance(edges, EdgeTable):
+    from .setup_pallas import SetupOut
+
+    pre = None
+    if isinstance(edges, SetupOut):
+        pre = edges
+        edges = rec_t = None
+        T = int(pre.recs.shape[0])
+        assert objspecs[-1].gid_hi <= T, "objspecs beyond the record table"
+    elif isinstance(edges, EdgeTable):
         rec_t = None
         T = edges.num_triangles
         assert objspecs[-1].gid_hi == T, "objspecs must cover the edge table"
@@ -1527,14 +1623,15 @@ def rasterize_scene_shaded(
         f"scene has {T} triangles; the f32 gid lane is exact only to "
         f"{MAX_SCENE_TRIANGLES} — split the scene across draws"
     )
+    t_policy = pre.num_triangles if pre is not None else T
     if frame_height is None:
         frame_height = height
     if frame_width is None:
         frame_width = width
     if strategy == "auto":
-        strategy = "sorted" if T > AUTO_SORTED_THRESHOLD else "mask"
+        strategy = "sorted" if t_policy > AUTO_SORTED_THRESHOLD else "mask"
     if tile_h is None:
-        tile_h = _pick_tile_h(T)
+        tile_h = _pick_tile_h(t_policy)
 
     fields, _, _, _ = _scene_fields(objspecs)
     if atlas is not None:
@@ -1557,10 +1654,13 @@ def rasterize_scene_shaded(
     interpret = jax.default_backend() != "tpu"
     scratch = [pltpu.VMEM((len(fields), tile_h, TILE_W), F32)]
 
-    bbox = (
-        triangle_bbox_rows(rec_t, frame_height, frame_width)
-        if rec_t is not None else None
-    )
+    if pre is not None:
+        bbox = pre.bbox
+    else:
+        bbox = (
+            triangle_bbox_rows(rec_t, frame_height, frame_width)
+            if rec_t is not None else None
+        )
     if strategy == "mask":
         if capacity is None:
             capacity = min(max(CHUNK_T, -(-T // CHUNK_T) * CHUNK_T), 4096)
@@ -1571,7 +1671,9 @@ def rasterize_scene_shaded(
         )
         tile_recs = _tile_records(
             edges, bins,
-            recs=finish_records(rec_t) if rec_t is not None else None,
+            recs=(pre.recs if pre is not None
+                  else finish_records(rec_t) if rec_t is not None
+                  else None),
         )
         kernel = functools.partial(
             _raster_kernel_tilelist_shaded, frame_width=frame_width,
@@ -1611,17 +1713,20 @@ def rasterize_scene_shaded(
         color = color[:height, :width]
         stats = {"bins_dropped": bins.n_dropped}
     elif strategy == "sorted":
-        # Row-major table: from the channel-major record table it is ONE
+        # Row-major table: the fused setup kernel wrote it directly
+        # (SetupOut); from the channel-major record table it is ONE
         # trivial pallas transpose (the field math fused into the table
         # write upstream); the EdgeTable compat path re-assembles columns.
-        if rec_t is not None:
+        if pre is not None:
+            recs = pre.recs
+        elif rec_t is not None:
             recs = finish_records(rec_t)
         else:
             recs = (
                 pack_records_rowmajor(edges) if T > 65536
                 else pack_records(edges)
             )
-        expansion, budget_factor = _queue_expansion(tile_h, T)
+        expansion, budget_factor = _queue_expansion(tile_h, t_policy)
         # Dense fine-tile grids run the wide (full-lane-width) in-kernel
         # stage A over WIDE_BLK-entry blocks; sparse 32-row grids keep
         # narrow 64-entry blocks with per-chunk span setup (most of their
@@ -1746,24 +1851,35 @@ def rasterize_pallas(
     channel-major record table (85+, Tp) instead of an EdgeTable, exactly
     as in rasterize_scene_shaded.
     """
-    if isinstance(edges, EdgeTable):
+    from .setup_pallas import SetupOut
+
+    pre = None
+    if isinstance(edges, SetupOut):
+        pre = edges
+        edges = rec_t = None
+        T = int(pre.recs.shape[0])
+    elif isinstance(edges, EdgeTable):
         rec_t = None
         T = edges.num_triangles
     else:
         rec_t, edges = edges, None
         T = int(rec_t.shape[1])
+    t_policy = pre.num_triangles if pre is not None else T
     if frame_height is None:
         frame_height = height
     if frame_width is None:
         frame_width = width
     if strategy == "auto":
-        strategy = "sorted" if T > AUTO_SORTED_THRESHOLD else "mask"
+        strategy = "sorted" if t_policy > AUTO_SORTED_THRESHOLD else "mask"
     if tile_h is None:
-        tile_h = _pick_tile_h(T)
-    bbox = (
-        triangle_bbox_rows(rec_t, frame_height, frame_width)
-        if rec_t is not None else None
-    )
+        tile_h = _pick_tile_h(t_policy)
+    if pre is not None:
+        bbox = pre.bbox
+    else:
+        bbox = (
+            triangle_bbox_rows(rec_t, frame_height, frame_width)
+            if rec_t is not None else None
+        )
 
     if strategy == "mask":
         if capacity is None:
@@ -1777,15 +1893,18 @@ def rasterize_pallas(
         )
         gid, gbuf = raster_pass(
             edges, bins, height, width, frame_width, row0, col0, tile_h,
-            recs=finish_records(rec_t) if rec_t is not None else None,
+            recs=(pre.recs if pre is not None
+                  else finish_records(rec_t) if rec_t is not None
+                  else None),
         )
         stats = {"bins_dropped": bins.n_dropped}
     elif strategy == "sorted":
         recs = (
-            finish_records(rec_t) if rec_t is not None
+            pre.recs if pre is not None
+            else finish_records(rec_t) if rec_t is not None
             else pack_records(edges)
         )
-        expansion, budget_factor = _queue_expansion(tile_h, T)
+        expansion, budget_factor = _queue_expansion(tile_h, t_policy)
         qbins = bin_triangles_queue(
             edges, height, width, tile_h, TILE_W, QUEUE_BLK,
             expansion=expansion, budget_factor=budget_factor,

@@ -197,10 +197,13 @@ def render_scene_geometry_sharded(
         okey = jnp.full((lh, lw), _NO_WINNER, jnp.int32)
         for i, (obj, cfg) in enumerate(zip(objs, cfgs)):
             if backend == "pallas":
-                from ..geometry.vertex import setup_records
                 from ..ops.raster_pallas import rasterize_pallas
+                from ..ops.setup_pallas import setup_for_raster
 
-                rec_t = setup_records(obj, transform, lights, cfg)
+                rec_t = setup_for_raster(
+                    obj, transform, lights, cfg,
+                    frame_height=height, frame_width=width,
+                )
                 covered, gbuf, _ = rasterize_pallas(
                     rec_t, lh, lw, None, height, width, row0, col0
                 )

@@ -80,7 +80,6 @@ def stage_breakdown(obj, cfg, transform, lights, height: int, width: int,
 
     from ..core.math import pack_argb
     from ..geometry.transform import rotate_object, rotation_y
-    from ..geometry.vertex import setup_records
     from ..ops import raster_pallas as rp
     from ..ops.binning import (
         bin_triangles,
@@ -114,13 +113,33 @@ def stage_breakdown(obj, cfg, transform, lights, height: int, width: int,
         _ = float(out[0])
         return (time.perf_counter() - t0) / frames * 1e3
 
+    from ..ops.setup_pallas import FUSED_SETUP_MIN, SetupOut, setup_for_raster
+
+    # Mirror the real pipeline's setup form: fused Pallas kernel above
+    # FUSED_SETUP_MIN (records + bbox written directly), XLA chain below.
+    use_fused_setup = T >= FUSED_SETUP_MIN
+
+    def _setup(o):
+        """(recs_for_stream, bbox) exactly as the pipeline builds them."""
+        out = setup_for_raster(o, transform, lights, cfg,
+                               frame_height=height, frame_width=width)
+        if isinstance(out, SetupOut):
+            return out.recs, out.bbox
+        return out, triangle_bbox_rows(out, height, width)
+
+    def _consume(*arrays):
+        # Consume EVERY element of every stage product: a partial
+        # reduction lets XLA dead-code untouched math and mis-attribute
+        # it to later stages (observed: "setup" at 1M read 15.8 ms while
+        # binning absorbed the color/normal rows it never needs).
+        return sum(
+            jnp.sum(a.astype(jnp.float32) * jnp.float32(1e-12))
+            for a in arrays
+        )
+
     def p_setup(o):
-        rec_t = setup_records(o, transform, lights, cfg)
-        # Consume EVERY field row: a partial reduction lets XLA dead-code
-        # the untouched field math and mis-attributes it to later stages
-        # (observed: "setup" at 1M read 15.8 ms while binning absorbed the
-        # color/normal rows it never needs).
-        return jnp.sum(rec_t * jnp.float32(1e-12))
+        recs, bbox = _setup(o)
+        return _consume(recs, *bbox)
 
     # Mirror rasterize_scene_shaded's actual sorted-path parameters so the
     # deltas attribute to the stages the real pipeline runs.
@@ -128,35 +147,33 @@ def stage_breakdown(obj, cfg, transform, lights, height: int, width: int,
     blk = rp.WIDE_BLK if tile_h <= 8 else rp.QUEUE_BLK
 
     def p_bin(o):
-        rec_t = setup_records(o, transform, lights, cfg)
-        bbox = triangle_bbox_rows(rec_t, height, width)
+        recs, bbox = _setup(o)
         if strategy == "mask":
             b = bin_triangles(None, height, width, tile_h, rp.TILE_W,
                               min(max(rp.CHUNK_T, T), 4096), bbox=bbox)
-            return jnp.sum(b.counts).astype(jnp.float32) + p_setup(o)
+            return jnp.sum(b.counts).astype(jnp.float32) + _consume(recs)
         q = bin_triangles_queue(None, height, width, tile_h, rp.TILE_W,
                                 blk, expansion=exp, budget_factor=bf,
                                 bbox=bbox)
-        # p_setup's full-record term keeps each prefix's upstream work
+        # The full-record term keeps each prefix's upstream work
         # identical (no DCE skew in the deltas).
-        return jnp.sum(q.counts).astype(jnp.float32) + p_setup(o)
+        return jnp.sum(q.counts).astype(jnp.float32) + _consume(recs)
 
     def p_stream(o):
-        rec_t = setup_records(o, transform, lights, cfg)
-        bbox = triangle_bbox_rows(rec_t, height, width)
+        recs, bbox = _setup(o)
         if strategy == "mask":
             return p_bin(o)  # no separate stream stage
         q = bin_triangles_queue(None, height, width, tile_h, rp.TILE_W,
                                 blk, expansion=exp, budget_factor=bf,
                                 bbox=bbox)
-        recs = rp.finish_records(rec_t)
+        if not use_fused_setup:
+            recs = rp.finish_records(recs)
         stream, _ = rp._queue_stream(None, q, recs, blk)
         # Consume every gathered lane (a single-lane slice lets XLA narrow
         # the row gather itself) + the full upstream terms.
         return (
-            jnp.sum(stream * jnp.float32(1e-12))
+            _consume(stream, recs)
             + jnp.sum(q.counts).astype(jnp.float32)
-            + jnp.sum(rec_t * jnp.float32(1e-12))
         )
 
     # Untextured configs run the fully-fused kernel (raster + shade in one
@@ -164,7 +181,8 @@ def stage_breakdown(obj, cfg, transform, lights, height: int, width: int,
     fused = not cfg.textured
 
     def p_raster(o):
-        rec_t = setup_records(o, transform, lights, cfg)
+        rec_t = setup_for_raster(o, transform, lights, cfg,
+                                 frame_height=height, frame_width=width)
         if fused:
             covered, z, color, _ = rp.rasterize_pallas_shaded(
                 rec_t, transform, lights, cfg.phong, height, width,
@@ -181,7 +199,8 @@ def stage_breakdown(obj, cfg, transform, lights, height: int, width: int,
     def p_shade(o):
         if fused:
             return p_raster(o)  # shading already inside the kernel
-        rec_t = setup_records(o, transform, lights, cfg)
+        rec_t = setup_for_raster(o, transform, lights, cfg,
+                                 frame_height=height, frame_width=width)
         covered, gbuf, _ = rp.rasterize_pallas(
             rec_t, height, width, strategy=strategy, tile_h=tile_h
         )
