@@ -142,12 +142,23 @@ def _queue_expansion(tile_h: int, num_triangles: int):
     if tile_h <= 8 and num_triangles > 65536:
         return 4, 1.5
     return 8, 2
-# Auto-switch to 8-row tiles above this triangle count: past ~8k triangles
-# (at 1080p) triangles are small enough that 32-row tiles waste 4x fragment
-# work, and large enough counts amortize the finer grid's per-step DMA
-# latency. Below it, mid-size triangles overflow the 8-entry tile expansion
-# into the broadcast side pass (measured 2.6 ms vs 22 ms at 2.2k tris).
-TILE8_THRESHOLD = 8192
+# Auto-switch to 8-row tiles when the mean frame area per triangle drops
+# below this: small triangles make 32-row tiles waste 4x fragment work,
+# and dense scenes amortize the finer grid's per-step DMA latency. Below
+# the density cut, mid-size triangles would overflow the fine grid's tile
+# expansion into the broadcast side pass (measured 2.6 ms vs 22 ms at
+# 2.2k tris at 1080p). The cut is AREA-RELATIVE: the old fixed 8192-
+# triangle threshold was calibrated at 1080p (~253 px/triangle) and kept
+# a 5.4k-triangle 512^2 scene — 48 px/triangle of tiny fragments — on
+# coarse tiles (BENCH round 2's config-2 regression, 0.39x the CPU).
+TILE8_PX_PER_TRI = 256
+
+# Fine-tile grids bin at HALF-tile (64-column) granularity and the queue
+# kernel folds one entry of each half per chunk slot ("dual packing") —
+# tiny triangles cover a few pixels, so every (8, 128) fragment op serving
+# two entries nearly halves stage-B cost. Module flag (trace-time
+# constant) so A/B probes can compile both variants in one process.
+DUAL_PACKING = True
 
 # Per-edge field layout inside the packed record (28 floats per edge;
 # EDGE_STRIDE/GID_LANE/REC_LANES are owned by geometry.vertex, which WRITES
@@ -177,8 +188,11 @@ _MASK_BLOCK_VMEM_CAP = 4 * 1024 * 1024
 _MASK_TOTAL_HBM_CAP = 512 * 1024 * 1024
 
 
-def _pick_tile_h(num_triangles: int) -> int:
-    return 8 if num_triangles > TILE8_THRESHOLD else 32
+def _pick_tile_h(num_triangles: int, height: int = 1080,
+                 width: int = 1920) -> int:
+    return (
+        8 if num_triangles * TILE8_PX_PER_TRI > height * width else 32
+    )
 
 
 def pack_records(edges: EdgeTable) -> jnp.ndarray:
@@ -400,6 +414,48 @@ def pack_texture_atlas(textures):
     return jnp.concatenate(rows, axis=0), offs
 
 
+_SAMPLE_SLAB = 8  # pixel rows per one-hot contraction slab
+
+
+def _by_row_slabs(sample_fn, planes, tile_h, tile_w, slab=_SAMPLE_SLAB):
+    """Apply ``sample_fn`` (N (r, W) f32 planes -> 4 (r, W) rgba planes)
+    over ``slab``-row slices of the tile, serialized through a fori_loop
+    on scoped VMEM refs. Bounds the one-hot contraction intermediates
+    ((r, W, AH) one-hots, (r, W, 4*AW) f32 row texels) to a couple of MB
+    TOTAL: a full 32-row tile's bilinear intermediates measured 34 MB of
+    scoped VMEM against the 16 MB on-chip limit, and an unrolled slab
+    loop still left ~20 MB coexisting (found by bench.py --parity
+    config 3 — CPU interpret mode has no such limit; the fori_loop forces
+    the allocator to reuse one slab's buffers). Slab order is row order
+    and per-element math is untouched, so values are bit-identical.
+
+    All planes ride one f32 ref; integer index planes are exact in f32
+    for any atlas dimension <= 2**24, and ``sample_fn`` casts back."""
+    if tile_h <= slab:
+        return sample_fn(*planes)
+    n = len(planes)
+
+    def scoped(in_ref, out_ref):
+        for i, p in enumerate(planes):
+            in_ref[i] = p.astype(F32)
+
+        def step(s, _):
+            rows = pl.ds(s * slab, slab)
+            outs = sample_fn(*(in_ref[i, rows, :] for i in range(n)))
+            for c in range(4):
+                out_ref[c, rows, :] = outs[c]
+            return 0
+
+        jax.lax.fori_loop(0, tile_h // slab, step, 0)
+        return [out_ref[c] for c in range(4)]
+
+    return pl.run_scoped(
+        scoped,
+        pltpu.VMEM((n, tile_h, tile_w), F32),
+        pltpu.VMEM((4, tile_h, tile_w), F32),
+    )
+
+
 def _sample_texture_atlas(txi, tyi, tex_ref, ah, aw, tile_h, tile_w):
     """Nearest-neighbor texel fetch from the scene atlas as an MXU one-hot
     contraction (TPU per-element gathers measured ~15 ms/frame at 1080p;
@@ -414,8 +470,14 @@ def _sample_texture_atlas(txi, tyi, tex_ref, ah, aw, tile_h, tile_w):
     # One contraction across all 4 channel blocks (N = 4*AW keeps the MXU
     # fuller than per-channel N = AW dots); Mosaic requires a 32-bit
     # accumulator, and the f32 result is exact for texel ints <= 255.
-    mid = _row_texels(tyi, tex_ref, ah, tile_h, tile_w)
-    return _col_pick(txi, mid, aw, tile_h, tile_w)
+    def one(txi_s, tyi_s):
+        r = txi_s.shape[0]
+        txi_s = txi_s.astype(jnp.int32)  # exact f32 round-trip via the
+        tyi_s = tyi_s.astype(jnp.int32)  # slab ref (no-op when direct)
+        mid = _row_texels(tyi_s, tex_ref, ah, r, tile_w)
+        return _col_pick(txi_s, mid, aw, r, tile_w)
+
+    return _by_row_slabs(one, (txi, tyi), tile_h, tile_w)
 
 
 def _row_texels(tyi, tex_ref, ah, tile_h, tile_w):
@@ -459,18 +521,28 @@ def _sample_texture_atlas_bilinear(txi0, txi1, tyi0, tyi1, fx, fy, tex_ref,
 
     Reference texel fetch analog: projekt.cpp:1035-1142 (nearest); the
     bilinear mode is this framework's documented extension."""
-    mid0 = _row_texels(tyi0, tex_ref, ah, tile_h, tile_w)
-    mid1 = _row_texels(tyi1, tex_ref, ah, tile_h, tile_w)
-    c00 = _col_pick(txi0, mid0, aw, tile_h, tile_w)
-    c10 = _col_pick(txi1, mid0, aw, tile_h, tile_w)
-    c01 = _col_pick(txi0, mid1, aw, tile_h, tile_w)
-    c11 = _col_pick(txi1, mid1, aw, tile_h, tile_w)
-    out = []
-    for c in range(4):
-        top = c00[c] + fx * (c10[c] - c00[c])
-        bot = c01[c] + fx * (c11[c] - c01[c])
-        out.append(top + fy * (bot - top))
-    return out
+    def one(txi0_s, txi1_s, tyi0_s, tyi1_s, fx_s, fy_s):
+        r = txi0_s.shape[0]
+        txi0_s = txi0_s.astype(jnp.int32)  # exact f32 round-trip via
+        txi1_s = txi1_s.astype(jnp.int32)  # the slab ref (no-op when
+        tyi0_s = tyi0_s.astype(jnp.int32)  # called direct)
+        tyi1_s = tyi1_s.astype(jnp.int32)
+        mid0 = _row_texels(tyi0_s, tex_ref, ah, r, tile_w)
+        mid1 = _row_texels(tyi1_s, tex_ref, ah, r, tile_w)
+        c00 = _col_pick(txi0_s, mid0, aw, r, tile_w)
+        c10 = _col_pick(txi1_s, mid0, aw, r, tile_w)
+        c01 = _col_pick(txi0_s, mid1, aw, r, tile_w)
+        c11 = _col_pick(txi1_s, mid1, aw, r, tile_w)
+        out = []
+        for c in range(4):
+            top = c00[c] + fx_s * (c10[c] - c00[c])
+            bot = c01[c] + fx_s * (c11[c] - c01[c])
+            out.append(top + fy_s * (bot - top))
+        return out
+
+    return _by_row_slabs(
+        one, (txi0, txi1, tyi0, tyi1, fx, fy), tile_h, tile_w
+    )
 
 
 def _chunk_best(rec, lo_rel, n_rel, yf, xc, w_f, fields, tile_h, tile_w):
@@ -603,7 +675,7 @@ def _fold_chunk(inspan, zfrag, frags, gids, n_fields, tile_h, tile_w):
         zc = jnp.where(inspan[c], zfrag[c], DEPTH_CLEAR)
         win = zc > best_z
         best_z = jnp.where(win, zc, best_z)
-        best_i = jnp.where(win, gids[c, 0, 0], best_i)
+        best_i = jnp.where(win, gids[c], best_i)  # (1,1) or (1,W) bcast
         for i in range(n_fields):
             best_a[i] = jnp.where(win, frags[i][c], best_a[i])
     return best_z, best_i, best_a
@@ -614,8 +686,13 @@ def _fold_chunk(inspan, zfrag, frags, gids, n_fields, tile_h, tile_w):
 # ---------------------------------------------------------------------------
 
 # Per-(entry, tile-row) span quantities preceding the attribute pairs:
-# minx, maxx (span_ok folded in as -BIG), xoff, zl, zinc.
-SPANEX_QBASE = 5
+# minx (k's reference point), mlo/mhi (the mask bounds: minx/maxx clamped
+# to the entry's bin half, span_ok folded into mhi as -BIG), xoff, zl,
+# zinc. minx and mlo split so the dual 64-column binning can clip an
+# entry's WRITE mask to its own half while k = xoff + (xc - minx) keeps
+# interpolating from the true span start (identical values — the other
+# half's pixels come from the twin entry in the other bin).
+SPANEX_QBASE = 6
 
 
 def _spanex_layout(n_fields, tile_h):
@@ -627,7 +704,7 @@ def _spanex_layout(n_fields, tile_h):
 
 
 def _stage_a_fill(scr_ref, rt, yf_col, ent_lo, ent_hi, w_f, fields,
-                  tile_h):
+                  tile_h, half_lo=None, half_hi=None):
     """Wide in-kernel stage A: span setup for ALL entries of one
     transposed record block at once — active-edge ordering, span bounds,
     left values and per-pixel increments (the ops.spans closed forms,
@@ -729,8 +806,14 @@ def _stage_a_fill(scr_ref, rt, yf_col, ent_lo, ent_hi, w_f, fields,
     maxx = jnp.minimum(round_half_away(rx), w_f - F32(1.0))
     maxx = jnp.where(span_ok, maxx, F32(-_BIG))  # coverage gate
 
+    # Mask bounds: the span clipped to this record block's bin half (the
+    # dual 64-column packing); plain (single-bin) callers pass no halves
+    # and the bounds degenerate to minx/maxx exactly.
+    mlo = minx if half_lo is None else jnp.maximum(minx, half_lo)
+    mhi = maxx if half_hi is None else jnp.minimum(maxx, half_hi)
+
     zl, zr = attr_lr(_F_Z0, _F_ZG)
-    quants = [minx, maxx, xoff, zl,
+    quants = [minx, mlo, mhi, xoff, zl,
               jnp.where(nz, (zr - zl) / xd, F32(0.0))]
     for j0, jg in fields:
         al, ar = attr_lr(j0, jg)
@@ -748,15 +831,16 @@ def _chunk_best_spanex(rec, xc, n_fields, tile_h, tile_w):
     """Stage B fold over CHUNK_T span-expanded records (_stage_a_fill
     layout): per fragment only k = xoff + (xc - minx), z/attr = left +
     k * inc, and the best-per-pixel fold remain. Entry masking (block
-    boundaries, missing spans) is already folded into maxx by stage A."""
+    boundaries, missing spans, bin-half clipping) is already folded into
+    mlo/mhi by stage A."""
 
     def q(i):
         return rec[:, i * tile_h:(i + 1) * tile_h]  # (C, R)
 
-    minx, maxx, xoff, zl, zinc = (q(i) for i in range(SPANEX_QBASE))
+    minx, mlo, mhi, xoff, zl, zinc = (q(i) for i in range(SPANEX_QBASE))
 
     m3 = lambda a: a[:, :, None]  # (C, R) -> (C, R, 1)
-    inspan = (xc >= m3(minx)) & (xc <= m3(maxx))  # (C, R, W)
+    inspan = (xc >= m3(mlo)) & (xc <= m3(mhi))  # (C, R, W)
     k = m3(xoff) + (xc - m3(minx))
     zfrag = m3(zl) + k * m3(zinc)
     frags = [
@@ -765,6 +849,50 @@ def _chunk_best_spanex(rec, xc, n_fields, tile_h, tile_w):
     ]
     _, gid_lane, _ = _spanex_layout(n_fields, tile_h)
     gids = rec[:, gid_lane][:, None, None].astype(jnp.int32)
+    return _fold_chunk(inspan, zfrag, frags, gids, n_fields, tile_h,
+                       tile_w)
+
+
+def _chunk_best_spanex_dual(rec_a, rec_b, xc, half_w, n_fields, tile_h,
+                            tile_w):
+    """Dual-bin stage B: chunk slot c carries TWO entries — rec_a's on
+    lanes [0, half_w) and rec_b's on [half_w, 2*half_w) — so every
+    (C, R, W) fragment op serves two entries. The bin halves are spatially
+    disjoint (64-column binning clips each entry's mask to its half via
+    mlo/mhi in stage A), so the per-pixel fold sees exactly the entries of
+    ITS half in stream order — identical winners, ties, and values to
+    running the two streams separately (projekt.cpp:495 first-writer
+    rule). Quantities merge with one lane-select per plane; the fragment
+    math is shared."""
+
+    def q(i):
+        a = rec_a[:, i * tile_h:(i + 1) * tile_h]  # (C, R)
+        b = rec_b[:, i * tile_h:(i + 1) * tile_h]
+        return a, b
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, tile_w), 2)
+    left = lane < half_w  # (1, 1, W)
+
+    def m3(ab):
+        a, b = ab
+        return jnp.where(left, a[:, :, None], b[:, :, None])  # (C, R, W)
+
+    minx, mlo, mhi, xoff, zl, zinc = (
+        m3(q(i)) for i in range(SPANEX_QBASE)
+    )
+    inspan = (xc >= mlo) & (xc <= mhi)
+    k = xoff + (xc - minx)
+    zfrag = zl + k * zinc
+    frags = [
+        m3(q(SPANEX_QBASE + 2 * i)) + k * m3(q(SPANEX_QBASE + 2 * i + 1))
+        for i in range(n_fields)
+    ]
+    _, gid_lane, _ = _spanex_layout(n_fields, tile_h)
+    gids = jnp.where(
+        left,
+        rec_a[:, gid_lane][:, None, None],
+        rec_b[:, gid_lane][:, None, None],
+    ).astype(jnp.int32)  # (C, 1, W)
     return _fold_chunk(inspan, zfrag, frags, gids, n_fields, tile_h,
                        tile_w)
 
@@ -1224,6 +1352,40 @@ def _queue_index_maps(tiles_x, n_blocks, blk=QUEUE_BLK):
     return rec_index, out_index, out_index_cf
 
 
+def _queue_index_maps_dual(tiles_x, n_blocks, blk):
+    """Index maps for the dual-bin shaded kernel (8 prefetch args). The
+    block choice mirrors _half_block_bounds' clamped ci so the fetched
+    block always matches the kernel's masking arithmetic."""
+
+    def half_index(g, wi_tile, starts, counts, item_start, side):
+        tile = wi_tile[g]
+        b = 2 * tile + side
+        s = starts[b]
+        cnt = counts[b]
+        end = s + cnt
+        nb = jnp.where(cnt > 0, -(-end // blk) - s // blk, 0)
+        ci = g - item_start[tile]
+        ci_c = jnp.minimum(ci, jnp.maximum(nb - 1, 0))
+        return jnp.clip(s // blk + ci_c, 0, n_blocks - 1)
+
+    def rec_index_a(g, wi_tile, starts, counts, item_start, lc, lm, org,
+                    par):
+        return (half_index(g, wi_tile, starts, counts, item_start, 0),
+                0, 0)
+
+    def rec_index_b(g, wi_tile, starts, counts, item_start, lc, lm, org,
+                    par):
+        return (half_index(g, wi_tile, starts, counts, item_start, 1),
+                0, 0)
+
+    def out_index(g, wi_tile, starts, counts, item_start, lc, lm, org,
+                  par):
+        tile = wi_tile[g]
+        return (tile // tiles_x, tile % tiles_x)
+
+    return rec_index_a, rec_index_b, out_index
+
+
 def raster_pass_queue(edges: EdgeTable, qbins: QueueBins, height: int,
                       width: int, frame_width: int | None = None,
                       row0=0, col0=0, recs=None, tile_h: int = 32):
@@ -1408,11 +1570,29 @@ def _raster_kernel_tilelist_shaded(count_ref, origin_ref, params_ref,
                       tex_ref)
 
 
+def _half_block_bounds(starts, counts, bin_idx, ci, blk):
+    """Dual-bin helper: (block-local ent_lo, ent_hi, has-entries) of one
+    bin half's ``ci``-th record block, with ci clamped into the half's
+    block range (exhausted halves mask every entry)."""
+    s = starts[bin_idx]
+    cnt = counts[bin_idx]
+    end = s + cnt
+    nb = jnp.where(cnt > 0, -(-end // blk) - s // blk, 0)
+    ci_c = jnp.minimum(ci, jnp.maximum(nb - 1, 0))
+    base = (s // blk + ci_c) * blk
+    head = s - base
+    n = end - base
+    valid = (ci < nb) & (cnt > 0)
+    ent_lo = jnp.where(valid, head, 0)
+    ent_hi = jnp.where(valid, n, 0)
+    return ent_lo, ent_hi, valid
+
+
 def _raster_kernel_queue_shaded(wi_tile, starts, counts, item_ext, lcounts,
-                                lmeta, origin, params, rec_ref, lrec_ref,
+                                lmeta, origin, params, rec_ref,
                                 *rest, frame_width, fields, objspecs,
                                 n_lights, tiles_x, tile_h, tile_w,
-                                blk=QUEUE_BLK, wide=False):
+                                blk=QUEUE_BLK, wide=False, dual=False):
     """Shaded queue kernel. ``item_ext`` has ntiles+2 entries (last = maxw)
     so the dummy tail tile's item count is well-defined; the attribute
     scratch persists across a tile's consecutive work items (TPU grid steps
@@ -1426,6 +1606,13 @@ def _raster_kernel_queue_shaded(wi_tile, starts, counts, item_ext, lcounts,
     would be waste) interleaves span setup per 8-entry chunk
     (_chunk_best).
 
+    ``dual`` (wide only): entries are binned at HALF-tile column
+    granularity (bin_triangles_queue pair_cols), each work item streams
+    one record block from each half (rec_ref = left, the extra ref =
+    right), and the chunk fold packs one entry of each half per slot —
+    every (R, W) fragment op serves two entries, halving stage-B cost for
+    tiny triangles. starts/counts are indexed at 2*tile(+1).
+
     Large triangles (spanning more tiles than the entry expansion) live in
     the compact ``lrec_ref`` side list, resident in VMEM for the whole
     launch (one DMA — a per-tile pipelined stream measured ~2x the whole
@@ -1436,6 +1623,14 @@ def _raster_kernel_queue_shaded(wi_tile, starts, counts, item_ext, lcounts,
     = [live length]. The earlier broadcast side pass rasterized the list
     over every tile in a second kernel and re-ran finalize (two
     full-frame shades)."""
+    if dual:
+        assert wide, "dual binning requires the wide stage-A path"
+        rec_b_ref, lrec_ref, rest = rest[0], rest[1], rest[2:]
+    else:
+        lrec_ref, rest = rest[0], rest[1:]
+    if dual:
+        spanex_b_ref = rest[-1]
+        rest = rest[:-1]
     if wide:
         spanex_ref = rest[-1]
         rest = rest[:-1]
@@ -1449,10 +1644,11 @@ def _raster_kernel_queue_shaded(wi_tile, starts, counts, item_ext, lcounts,
     ty = tile // tiles_x
     tx = tile - ty * tiles_x
     ci = g - item_ext[tile]
-    s = starts[tile]
-    base = (s // blk + ci) * blk
-    head = s - base
-    n = (s + counts[tile]) - base
+    if not dual:
+        s = starts[tile]
+        base = (s // blk + ci) * blk
+        head = s - base
+        n = (s + counts[tile]) - base
 
     @pl.when(ci == 0)
     def _():
@@ -1462,7 +1658,53 @@ def _raster_kernel_queue_shaded(wi_tile, starts, counts, item_ext, lcounts,
     yf, xc = _tile_coords_rw(origin, ty, tx, tile_h, tile_w)
     w_f = F32(frame_width)
 
-    if wide:
+    def chunk_span(ent_lo, ent_hi, has):
+        lo = jnp.clip(jnp.maximum(ent_lo, 0) // CHUNK_T, 0,
+                      blk // CHUNK_T)
+        hi = jnp.clip((ent_hi + CHUNK_T - 1) // CHUNK_T, 0,
+                      blk // CHUNK_T)
+        # Blocks with no entries for this tile (e.g. every EMPTY tile's
+        # single init item) must run zero chunks — the rounded-up hi
+        # bound would otherwise execute one fully-masked chunk per empty
+        # tile, which dominated small scenes on fine tile grids.
+        return jnp.where(has, lo, blk // CHUNK_T), jnp.where(has, hi, 0)
+
+    if dual:
+        loA, hiA, validA = _half_block_bounds(starts, counts, 2 * tile,
+                                              ci, blk)
+        loB, hiB, validB = _half_block_bounds(starts, counts,
+                                              2 * tile + 1, ci, blk)
+        hasA = validA & (hiA > loA)
+        hasB = validB & (hiB > loB)
+        half_w = tile_w // 2
+        x0 = (origin[1] + tx * tile_w).astype(F32)
+
+        @pl.when(hasA | hasB)
+        def _():
+            yf_col = (
+                origin[0] + ty * tile_h
+                + jax.lax.broadcasted_iota(jnp.int32, (tile_h, 1), 0)
+            ).astype(F32)
+            _stage_a_fill(spanex_ref, jnp.transpose(rec_ref[0]), yf_col,
+                          loA, hiA, w_f, fields, tile_h,
+                          x0, x0 + F32(half_w - 1))
+            _stage_a_fill(spanex_b_ref, jnp.transpose(rec_b_ref[0]),
+                          yf_col, loB, hiB, w_f, fields, tile_h,
+                          x0 + F32(half_w), x0 + F32(tile_w - 1))
+
+        def sub_body(sub, _):
+            rec_a = spanex_ref[pl.ds(sub * CHUNK_T, CHUNK_T), :]
+            rec_b = spanex_b_ref[pl.ds(sub * CHUNK_T, CHUNK_T), :]
+            best = _chunk_best_spanex_dual(rec_a, rec_b, xc, half_w,
+                                           len(fields), tile_h, tile_w)
+            _merge_chunk_shaded(best, z_ref, gid_ref, scr_ref)
+            return 0
+
+        alo, ahi = chunk_span(loA, hiA, hasA)
+        blo, bhi = chunk_span(loB, hiB, hasB)
+        sub_lo = jnp.minimum(alo, blo)
+        sub_hi = jnp.maximum(ahi, bhi)
+    elif wide:
         @pl.when(n > head)
         def _():
             rt = jnp.transpose(rec_ref[0])  # (REC_LANES, blk)
@@ -1489,16 +1731,8 @@ def _raster_kernel_queue_shaded(wi_tile, starts, counts, item_ext, lcounts,
             _merge_chunk_shaded(best, z_ref, gid_ref, scr_ref)
             return 0
 
-    sub_lo = jnp.clip(jnp.maximum(head, 0) // CHUNK_T, 0,
-                      blk // CHUNK_T)
-    sub_hi = jnp.clip(
-        (n + CHUNK_T - 1) // CHUNK_T, 0, blk // CHUNK_T
-    )
-    # Tiles with no entries in this block (n == head, e.g. every EMPTY
-    # tile's single init item) must run zero chunks — the rounded-up hi
-    # bound would otherwise execute one fully-masked chunk per empty tile,
-    # which dominated small scenes on fine tile grids.
-    sub_hi = jnp.where(n > head, sub_hi, sub_lo)
+    if not dual:
+        sub_lo, sub_hi = chunk_span(head, n, n > head)
     jax.lax.fori_loop(sub_lo, sub_hi, sub_body, 0)
 
     nwi = item_ext[tile + 1] - item_ext[tile]
@@ -1631,7 +1865,7 @@ def rasterize_scene_shaded(
     if strategy == "auto":
         strategy = "sorted" if t_policy > AUTO_SORTED_THRESHOLD else "mask"
     if tile_h is None:
-        tile_h = _pick_tile_h(t_policy)
+        tile_h = _pick_tile_h(t_policy, frame_height, frame_width)
 
     fields, _, _, _ = _scene_fields(objspecs)
     if atlas is not None:
@@ -1730,14 +1964,22 @@ def rasterize_scene_shaded(
         # Dense fine-tile grids run the wide (full-lane-width) in-kernel
         # stage A over WIDE_BLK-entry blocks; sparse 32-row grids keep
         # narrow 64-entry blocks with per-chunk span setup (most of their
-        # work items hold only a few real entries).
+        # work items hold only a few real entries). Wide grids also bin
+        # at HALF-tile (64-column) granularity and fold one entry of each
+        # half per chunk slot (dual packing — tiny triangles cover a few
+        # pixels, so every (8, 128) fragment op serving two entries
+        # nearly halves stage-B cost; the halves are spatially disjoint
+        # so winners/ties/values are bit-identical).
         wide = tile_h <= 8
+        dual = wide and DUAL_PACKING
         blk = WIDE_BLK if wide else QUEUE_BLK
         qbins = bin_triangles_queue(
-            edges, height, width, tile_h, TILE_W, blk,
+            edges, height,
+            tiles_x * TILE_W if dual else width,
+            tile_h, TILE_W // 2 if dual else TILE_W, blk,
             expansion=expansion, budget_factor=budget_factor,
             frame_height=frame_height, frame_width=frame_width,
-            row0=row0, col0=col0, bbox=bbox,
+            row0=row0, col0=col0, bbox=bbox, pair_cols=dual,
         )
         rec_stream, n_blocks = _queue_stream(edges, qbins, recs, blk)
         maxw = qbins.wi_tile.shape[0]
@@ -1768,28 +2010,43 @@ def rasterize_scene_shaded(
             _raster_kernel_queue_shaded, frame_width=frame_width,
             fields=fields, objspecs=objspecs, n_lights=n_lights,
             tiles_x=tiles_x, tile_h=tile_h, tile_w=TILE_W, blk=blk,
-            wide=wide,
+            wide=wide, dual=dual,
         )
-        rec_index, out_index, _ = _queue_index_maps(tiles_x, n_blocks,
-                                                    blk)
+        if dual:
+            rec_index_a, rec_index_b, out_index8 = _queue_index_maps_dual(
+                tiles_x, n_blocks, blk
+            )
+            in_specs = [
+                pl.BlockSpec((1, blk, REC_LANES), rec_index_a),
+                pl.BlockSpec((1, blk, REC_LANES), rec_index_b),
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # side list
+            ]
+            operands = [rec_stream, rec_stream, lshared]
+        else:
+            rec_index, out_index, _ = _queue_index_maps(tiles_x, n_blocks,
+                                                        blk)
 
-        def rec_index8(g, wi, st, cn, it, lc, lm, org, par, _f=rec_index):
-            return _f(g, wi, st, cn, it, org)
+            def rec_index8(g, wi, st, cn, it, lc, lm, org, par,
+                           _f=rec_index):
+                return _f(g, wi, st, cn, it, org)
 
-        def out_index8(g, wi, st, cn, it, lc, lm, org, par, _f=out_index):
-            return _f(g, wi, st, cn, it, org)
+            def out_index8(g, wi, st, cn, it, lc, lm, org, par,
+                           _f=out_index):
+                return _f(g, wi, st, cn, it, org)
 
-        in_specs = [
-            pl.BlockSpec((1, blk, REC_LANES), rec_index8),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # resident side list
-        ]
-        operands = [rec_stream, lshared]
+            in_specs = [
+                pl.BlockSpec((1, blk, REC_LANES), rec_index8),
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # side list
+            ]
+            operands = [rec_stream, lshared]
         if tex_packed is not None:
             in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
             operands.append(tex_packed)
         queue_scratch = list(scratch)
         if wide:
             _, _, span_lanes = _spanex_layout(len(fields), tile_h)
+            queue_scratch.append(pltpu.VMEM((blk, span_lanes), F32))
+        if dual:
             queue_scratch.append(pltpu.VMEM((blk, span_lanes), F32))
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=8,
@@ -1872,7 +2129,7 @@ def rasterize_pallas(
     if strategy == "auto":
         strategy = "sorted" if t_policy > AUTO_SORTED_THRESHOLD else "mask"
     if tile_h is None:
-        tile_h = _pick_tile_h(t_policy)
+        tile_h = _pick_tile_h(t_policy, frame_height, frame_width)
     if pre is not None:
         bbox = pre.bbox
     else:

@@ -93,7 +93,7 @@ def stage_breakdown(obj, cfg, transform, lights, height: int, width: int,
         strategy = (
             "sorted" if T > rp.AUTO_SORTED_THRESHOLD else "mask"
         )
-    tile_h = rp._pick_tile_h(T)
+    tile_h = rp._pick_tile_h(T, height, width)
     angles = jnp.linspace(0.0, 0.7, frames).astype(jnp.float32)
 
     def timed(prefix_fn):
@@ -142,9 +142,14 @@ def stage_breakdown(obj, cfg, transform, lights, height: int, width: int,
         return _consume(recs, *bbox)
 
     # Mirror rasterize_scene_shaded's actual sorted-path parameters so the
-    # deltas attribute to the stages the real pipeline runs.
+    # deltas attribute to the stages the real pipeline runs (incl. the
+    # wide path's dual 64-column binning).
     exp, bf = rp._queue_expansion(tile_h, T)
-    blk = rp.WIDE_BLK if tile_h <= 8 else rp.QUEUE_BLK
+    dual = tile_h <= 8 and rp.DUAL_PACKING
+    blk = rp.WIDE_BLK if dual else rp.QUEUE_BLK
+    _tx = -(-width // rp.TILE_W)
+    bin_w = rp.TILE_W // 2 if dual else rp.TILE_W
+    bin_width = _tx * rp.TILE_W if dual else width
 
     def p_bin(o):
         recs, bbox = _setup(o)
@@ -152,9 +157,10 @@ def stage_breakdown(obj, cfg, transform, lights, height: int, width: int,
             b = bin_triangles(None, height, width, tile_h, rp.TILE_W,
                               min(max(rp.CHUNK_T, T), 4096), bbox=bbox)
             return jnp.sum(b.counts).astype(jnp.float32) + _consume(recs)
-        q = bin_triangles_queue(None, height, width, tile_h, rp.TILE_W,
+        q = bin_triangles_queue(None, height, bin_width, tile_h, bin_w,
                                 blk, expansion=exp, budget_factor=bf,
-                                bbox=bbox)
+                                bbox=bbox, frame_height=height,
+                                frame_width=width, pair_cols=dual)
         # The full-record term keeps each prefix's upstream work
         # identical (no DCE skew in the deltas).
         return jnp.sum(q.counts).astype(jnp.float32) + _consume(recs)
@@ -163,9 +169,10 @@ def stage_breakdown(obj, cfg, transform, lights, height: int, width: int,
         recs, bbox = _setup(o)
         if strategy == "mask":
             return p_bin(o)  # no separate stream stage
-        q = bin_triangles_queue(None, height, width, tile_h, rp.TILE_W,
+        q = bin_triangles_queue(None, height, bin_width, tile_h, bin_w,
                                 blk, expansion=exp, budget_factor=bf,
-                                bbox=bbox)
+                                bbox=bbox, frame_height=height,
+                                frame_width=width, pair_cols=dual)
         if not use_fused_setup:
             recs = rp.finish_records(recs)
         stream, _ = rp._queue_stream(None, q, recs, blk)
