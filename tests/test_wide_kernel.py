@@ -110,3 +110,43 @@ def test_setup_records_matches_packed_edge_table(config):
     np.testing.assert_array_equal(
         c[:T, :gl].view(np.uint32), a[:T, :gl]
     )
+
+
+@pytest.mark.parametrize("phong", [True, False])
+def test_dual_packing_off_matches_on(phong):
+    """The single-bin wide path (DUAL_PACKING=False) must stay bit-exact
+    with the dual 64-column packing that is now the default — it is the
+    fallback the module flag selects and the control arm of every dual
+    A/B probe. The halves of a dual tile are spatially disjoint by
+    construction (stage A clips each entry's span to its bin half), so
+    winners, ties, and interpolated values may not differ."""
+    edges, tr, li, _ = _edges(4, ObjectConfig(phong=phong))
+    outs = {}
+    orig = rp.DUAL_PACKING
+    try:
+        for dual in (True, False):
+            rp.DUAL_PACKING = dual
+            cov, z, col, stats = rp.rasterize_pallas_shaded(
+                edges, tr, li, phong, H, W, strategy="sorted", tile_h=8
+            )
+            assert int(stats["bins_dropped"]) == 0
+            outs[dual] = (np.asarray(cov), np.asarray(z), np.asarray(col))
+    finally:
+        rp.DUAL_PACKING = orig
+    for a, b in zip(outs[True], outs[False]):
+        np.testing.assert_array_equal(a, b)
+    assert outs[True][0].any()
+
+
+def test_tile_height_policy_is_area_relative():
+    """Round 2's config-2 regression: the fixed 8192-triangle cut kept a
+    5.4k-triangle 512^2 scene (48 px/triangle of tiny fragments) on
+    32-row tiles. The policy input is px/triangle, not triangle count."""
+    # Config-2 shape: 5.4k triangles at 512^2 -> fine tiles.
+    assert rp._pick_tile_h(5400, 512, 512) == 8
+    # Same mesh at 1080p is ~384 px/triangle -> coarse tiles.
+    assert rp._pick_tile_h(5400, 1080, 1920) == 32
+    # Config-4 shape: 2.2k triangles at 1080p stays coarse.
+    assert rp._pick_tile_h(2208, 1080, 1920) == 32
+    # Dense 1080p scenes stay fine.
+    assert rp._pick_tile_h(40000, 1080, 1920) == 8
