@@ -343,10 +343,16 @@ def run_scale():
         angles = jnp.linspace(0.0, 0.6, iters).astype(jnp.float32)
         out = frames(obj, transform, lights, angles)
         _ = float(out[0])
-        t0 = time.perf_counter()
-        out = frames(obj, transform, lights, angles)
-        _ = float(out[0])
-        ms = (time.perf_counter() - t0) / iters * 1e3
+        # Median of 3 timed scans: single scans on the tunneled chip swing
+        # ~1.3x run-to-run (CLAUDE.md), which at the 2M point is the
+        # difference between "beats the CPU" and "loses to it".
+        timed = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = frames(obj, transform, lights, angles)
+            _ = float(out[0])
+            timed.append((time.perf_counter() - t0) / iters * 1e3)
+        ms = sorted(timed)[1]
         drops = int(np.asarray(out[1])[-1])
 
         # Native CPU golden at the same point, held to the repo's timing

@@ -113,29 +113,29 @@ def test_setup_records_matches_packed_edge_table(config):
 
 
 @pytest.mark.parametrize("phong", [True, False])
-def test_dual_packing_off_matches_on(phong):
-    """The single-bin wide path (DUAL_PACKING=False) must stay bit-exact
-    with the dual 64-column packing that is now the default — it is the
-    fallback the module flag selects and the control arm of every dual
-    A/B probe. The halves of a dual tile are spatially disjoint by
-    construction (stage A clips each entry's span to its bin half), so
-    winners, ties, and interpolated values may not differ."""
+def test_pack_split_variants_bit_exact(phong):
+    """PACK_SPLIT 1 (single full-width bin), 2 (dual 64-column), and 4
+    (quad 32-column) must all be bit-exact: the sub-bins of a split tile
+    are spatially disjoint by construction (stage A clips each entry's
+    span to its bin), so winners, ties, and interpolated values may not
+    differ. Split 1 is the control arm of every split A/B probe."""
     edges, tr, li, _ = _edges(4, ObjectConfig(phong=phong))
     outs = {}
-    orig = rp.DUAL_PACKING
+    orig = rp.PACK_SPLIT
     try:
-        for dual in (True, False):
-            rp.DUAL_PACKING = dual
+        for split in (2, 1, 4):
+            rp.PACK_SPLIT = split
             cov, z, col, stats = rp.rasterize_pallas_shaded(
                 edges, tr, li, phong, H, W, strategy="sorted", tile_h=8
             )
             assert int(stats["bins_dropped"]) == 0
-            outs[dual] = (np.asarray(cov), np.asarray(z), np.asarray(col))
+            outs[split] = (np.asarray(cov), np.asarray(z), np.asarray(col))
     finally:
-        rp.DUAL_PACKING = orig
-    for a, b in zip(outs[True], outs[False]):
-        np.testing.assert_array_equal(a, b)
-    assert outs[True][0].any()
+        rp.PACK_SPLIT = orig
+    for split in (1, 4):
+        for a, b in zip(outs[2], outs[split]):
+            np.testing.assert_array_equal(a, b)
+    assert outs[2][0].any()
 
 
 def test_tile_height_policy_is_area_relative():

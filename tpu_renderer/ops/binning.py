@@ -354,7 +354,7 @@ def bin_triangles_queue(
     row0=0,
     col0=0,
     bbox=None,
-    pair_cols: bool = False,
+    col_split: int = 1,
 ) -> QueueBins:
     """Scalable binning: expand + stable-sort; no relayout.
 
@@ -364,13 +364,14 @@ def bin_triangles_queue(
     average tile coverage above ``budget_factor`` tiles/triangle is rare
     below ~30 px triangles).
 
-    ``pair_cols``: dual-bin mode — ``tile_w`` is HALF the rasterizer's
-    output tile width, and work items pair the two column bins of each
-    output tile (bins 2i and 2i+1 -> framebuffer tile i). starts/counts
-    stay at BIN granularity (the kernel indexes them at 2*tile(+1));
+    ``col_split``: split-bin mode (dual = 2, quad = 4) — ``tile_w`` is
+    1/col_split of the rasterizer's output tile width, and work items
+    group the col_split column bins of each output tile (bins
+    col_split*i + s -> framebuffer tile i). starts/counts stay at BIN
+    granularity (the kernel indexes them at col_split*tile + s);
     item_start/wi_tile are at FRAMEBUFFER-tile granularity with
-    nwi = max(blocks_left, blocks_right, 1) items per tile, so one grid
-    step streams one record block from EACH half into a shared fold.
+    nwi = max(max_s blocks_s, 1) items per tile, so one grid step
+    streams one record block from EACH sub-bin into a shared fold.
     """
     if frame_height is None:
         frame_height = height
@@ -462,16 +463,16 @@ def bin_triangles_queue(
     b_lo = starts[:-1] // blk
     b_hi = -(-starts[1:] // blk)
     nblocks_bin = jnp.where(keep_t > 0, b_hi - b_lo, 0)
-    if pair_cols:
-        # Dual mode: one item unit per FRAMEBUFFER tile covers a block
-        # from each of its two column bins; the pair runs in lockstep so
-        # the item count is the max of the halves.
-        nfb = ntiles // 2
+    if col_split > 1:
+        # Split mode: one item unit per FRAMEBUFFER tile covers a block
+        # from each of its col_split column bins; the group runs in
+        # lockstep so the item count is the max over the sub-bins.
+        nfb = ntiles // col_split
         nwi = jnp.maximum(
-            jnp.maximum(nblocks_bin[0::2], nblocks_bin[1::2]), 1
+            nblocks_bin.reshape(nfb, col_split).max(axis=1), 1
         )
         sentinel = nfb
-        # sum(max(bA, bB, 1)) <= sum(blocks per bin) + nfb; each bin adds
+        # sum(max_s(b_s, 1)) <= sum(blocks per bin) + nfb; each bin adds
         # <= 1 straddle block beyond its entries/blk.
         maxw = entry_budget // blk + ntiles + nfb
     else:
@@ -500,13 +501,15 @@ def bin_triangles_queue(
     counts_out = jnp.concatenate(
         [keep_t, jnp.zeros((1,), jnp.int32)]
     ).astype(jnp.int32)
-    if pair_cols:
-        # The dual kernel indexes bins at 2*tile(+1); the sentinel tile's
-        # right bin lands at index ntiles + 1, so pad one extra
-        # empty-bin entry.
-        starts = jnp.concatenate([starts, starts[-1:]])
+    if col_split > 1:
+        # The split kernel indexes bins at col_split*tile + s; the
+        # sentinel tile's sub-bins land at indices up to
+        # ntiles + col_split - 1, so pad col_split - 1 extra empty-bin
+        # entries.
+        pad = col_split - 1
+        starts = jnp.concatenate([starts] + [starts[-1:]] * pad)
         counts_out = jnp.concatenate(
-            [counts_out, jnp.zeros((1,), jnp.int32)]
+            [counts_out, jnp.zeros((pad,), jnp.int32)]
         )
     return QueueBins(
         sorted_tri=sorted_tri,

@@ -153,12 +153,14 @@ def _queue_expansion(tile_h: int, num_triangles: int):
 # coarse tiles (BENCH round 2's config-2 regression, 0.39x the CPU).
 TILE8_PX_PER_TRI = 256
 
-# Fine-tile grids bin at HALF-tile (64-column) granularity and the queue
-# kernel folds one entry of each half per chunk slot ("dual packing") —
-# tiny triangles cover a few pixels, so every (8, 128) fragment op serving
-# two entries nearly halves stage-B cost. Module flag (trace-time
-# constant) so A/B probes can compile both variants in one process.
-DUAL_PACKING = True
+# Fine-tile grids bin at sub-tile column granularity (128/PACK_SPLIT
+# columns per bin) and the queue kernel folds one entry of each sub-bin
+# per chunk slot ("split packing"; 2 = dual 64-column, 4 = quad
+# 32-column) — tiny triangles cover a few pixels, so every (8, 128)
+# fragment op serving PACK_SPLIT entries divides stage-B cost. Module
+# flag (trace-time constant) so A/B probes can compile variants in one
+# process. Valid values: 1 (single full-width bin), 2, 4.
+PACK_SPLIT = 2
 
 # Per-edge field layout inside the packed record (28 floats per edge;
 # EDGE_STRIDE/GID_LANE/REC_LANES are owned by geometry.vertex, which WRITES
@@ -853,46 +855,49 @@ def _chunk_best_spanex(rec, xc, n_fields, tile_h, tile_w):
                        tile_w)
 
 
-def _chunk_best_spanex_dual(rec_a, rec_b, xc, half_w, n_fields, tile_h,
-                            tile_w):
-    """Dual-bin stage B: chunk slot c carries TWO entries — rec_a's on
-    lanes [0, half_w) and rec_b's on [half_w, 2*half_w) — so every
-    (C, R, W) fragment op serves two entries. The bin halves are spatially
-    disjoint (64-column binning clips each entry's mask to its half via
-    mlo/mhi in stage A), so the per-pixel fold sees exactly the entries of
-    ITS half in stream order — identical winners, ties, and values to
-    running the two streams separately (projekt.cpp:495 first-writer
-    rule). Quantities merge with one lane-select per plane; the fragment
-    math is shared."""
-
-    def q(i):
-        a = rec_a[:, i * tile_h:(i + 1) * tile_h]  # (C, R)
-        b = rec_b[:, i * tile_h:(i + 1) * tile_h]
-        return a, b
-
+def _chunk_best_spanex_split(recs, xc, sub_w, n_fields, tile_h, tile_w):
+    """Split-bin stage B: chunk slot c carries len(recs) entries — the
+    s-th stream's on lanes [s*sub_w, (s+1)*sub_w) — so every (C, R, W)
+    fragment op serves len(recs) entries. The sub-bins are spatially
+    disjoint (sub-tile column binning clips each entry's mask to its bin
+    via mlo/mhi in stage A), so the per-pixel fold sees exactly the
+    entries of ITS bin in stream order — identical winners, ties, and
+    values to running the streams separately (projekt.cpp:495
+    first-writer rule). Quantities merge with a lane-select tree per
+    plane (1 select for dual, 3 for quad); the fragment math is
+    shared."""
+    split = len(recs)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, tile_w), 2)
-    left = lane < half_w  # (1, 1, W)
 
-    def m3(ab):
-        a, b = ab
-        return jnp.where(left, a[:, :, None], b[:, :, None])  # (C, R, W)
+    def tree(parts, lo, width):
+        # Binary select tree over the sub-bins' (C, R, 1) planes.
+        if len(parts) == 1:
+            return parts[0]
+        half = len(parts) // 2
+        cut = lane < (lo + half) * width
+        return jnp.where(
+            cut,
+            tree(parts[:half], lo, width),
+            tree(parts[half:], lo + half, width),
+        )
 
-    minx, mlo, mhi, xoff, zl, zinc = (
-        m3(q(i)) for i in range(SPANEX_QBASE)
-    )
+    def m3(i):
+        parts = [
+            r[:, i * tile_h:(i + 1) * tile_h][:, :, None] for r in recs
+        ]  # (C, R, 1) each
+        return tree(parts, 0, sub_w)  # (C, R, W)
+
+    minx, mlo, mhi, xoff, zl, zinc = (m3(i) for i in range(SPANEX_QBASE))
     inspan = (xc >= mlo) & (xc <= mhi)
     k = xoff + (xc - minx)
     zfrag = zl + k * zinc
     frags = [
-        m3(q(SPANEX_QBASE + 2 * i)) + k * m3(q(SPANEX_QBASE + 2 * i + 1))
+        m3(SPANEX_QBASE + 2 * i) + k * m3(SPANEX_QBASE + 2 * i + 1)
         for i in range(n_fields)
     ]
     _, gid_lane, _ = _spanex_layout(n_fields, tile_h)
-    gids = jnp.where(
-        left,
-        rec_a[:, gid_lane][:, None, None],
-        rec_b[:, gid_lane][:, None, None],
-    ).astype(jnp.int32)  # (C, 1, W)
+    gparts = [r[:, gid_lane][:, None, None] for r in recs]  # (C, 1, 1)
+    gids = tree(gparts, 0, sub_w).astype(jnp.int32)  # (C, 1, W)
     return _fold_chunk(inspan, zfrag, frags, gids, n_fields, tile_h,
                        tile_w)
 
@@ -1352,14 +1357,15 @@ def _queue_index_maps(tiles_x, n_blocks, blk=QUEUE_BLK):
     return rec_index, out_index, out_index_cf
 
 
-def _queue_index_maps_dual(tiles_x, n_blocks, blk):
-    """Index maps for the dual-bin shaded kernel (8 prefetch args). The
+def _queue_index_maps_split(tiles_x, n_blocks, blk, split):
+    """Index maps for the split-bin shaded kernel (8 prefetch args): one
+    record-stream index map per sub-bin plus the tile output map. The
     block choice mirrors _half_block_bounds' clamped ci so the fetched
     block always matches the kernel's masking arithmetic."""
 
-    def half_index(g, wi_tile, starts, counts, item_start, side):
+    def sub_index(g, wi_tile, starts, counts, item_start, side):
         tile = wi_tile[g]
-        b = 2 * tile + side
+        b = split * tile + side
         s = starts[b]
         cnt = counts[b]
         end = s + cnt
@@ -1368,22 +1374,19 @@ def _queue_index_maps_dual(tiles_x, n_blocks, blk):
         ci_c = jnp.minimum(ci, jnp.maximum(nb - 1, 0))
         return jnp.clip(s // blk + ci_c, 0, n_blocks - 1)
 
-    def rec_index_a(g, wi_tile, starts, counts, item_start, lc, lm, org,
-                    par):
-        return (half_index(g, wi_tile, starts, counts, item_start, 0),
-                0, 0)
-
-    def rec_index_b(g, wi_tile, starts, counts, item_start, lc, lm, org,
-                    par):
-        return (half_index(g, wi_tile, starts, counts, item_start, 1),
-                0, 0)
+    def make(side):
+        def rec_index(g, wi_tile, starts, counts, item_start, lc, lm,
+                      org, par, _side=side):
+            return (sub_index(g, wi_tile, starts, counts, item_start,
+                              _side), 0, 0)
+        return rec_index
 
     def out_index(g, wi_tile, starts, counts, item_start, lc, lm, org,
                   par):
         tile = wi_tile[g]
         return (tile // tiles_x, tile % tiles_x)
 
-    return rec_index_a, rec_index_b, out_index
+    return [make(s) for s in range(split)], out_index
 
 
 def raster_pass_queue(edges: EdgeTable, qbins: QueueBins, height: int,
@@ -1592,7 +1595,7 @@ def _raster_kernel_queue_shaded(wi_tile, starts, counts, item_ext, lcounts,
                                 lmeta, origin, params, rec_ref,
                                 *rest, frame_width, fields, objspecs,
                                 n_lights, tiles_x, tile_h, tile_w,
-                                blk=QUEUE_BLK, wide=False, dual=False):
+                                blk=QUEUE_BLK, wide=False, split=1):
     """Shaded queue kernel. ``item_ext`` has ntiles+2 entries (last = maxw)
     so the dummy tail tile's item count is well-defined; the attribute
     scratch persists across a tile's consecutive work items (TPU grid steps
@@ -1606,12 +1609,13 @@ def _raster_kernel_queue_shaded(wi_tile, starts, counts, item_ext, lcounts,
     would be waste) interleaves span setup per 8-entry chunk
     (_chunk_best).
 
-    ``dual`` (wide only): entries are binned at HALF-tile column
-    granularity (bin_triangles_queue pair_cols), each work item streams
-    one record block from each half (rec_ref = left, the extra ref =
-    right), and the chunk fold packs one entry of each half per slot —
-    every (R, W) fragment op serves two entries, halving stage-B cost for
-    tiny triangles. starts/counts are indexed at 2*tile(+1).
+    ``split`` > 1 (wide only): entries are binned at sub-tile column
+    granularity (bin_triangles_queue col_split; tile_w/split columns per
+    bin), each work item streams one record block from each sub-bin
+    (rec_ref = leftmost, the extra refs follow left-to-right), and the
+    chunk fold packs one entry of each sub-bin per slot — every (R, W)
+    fragment op serves ``split`` entries, dividing stage-B cost for tiny
+    triangles. starts/counts are indexed at split*tile + s.
 
     Large triangles (spanning more tiles than the entry expansion) live in
     the compact ``lrec_ref`` side list, resident in VMEM for the whole
@@ -1623,17 +1627,18 @@ def _raster_kernel_queue_shaded(wi_tile, starts, counts, item_ext, lcounts,
     = [live length]. The earlier broadcast side pass rasterized the list
     over every tile in a second kernel and re-ran finalize (two
     full-frame shades)."""
-    if dual:
-        assert wide, "dual binning requires the wide stage-A path"
-        rec_b_ref, lrec_ref, rest = rest[0], rest[1], rest[2:]
+    if split > 1:
+        assert wide, "split binning requires the wide stage-A path"
+        rec_refs = [rec_ref] + list(rest[:split - 1])
+        lrec_ref = rest[split - 1]
+        rest = rest[split:]
     else:
+        rec_refs = [rec_ref]
         lrec_ref, rest = rest[0], rest[1:]
-    if dual:
-        spanex_b_ref = rest[-1]
-        rest = rest[:-1]
     if wide:
-        spanex_ref = rest[-1]
-        rest = rest[:-1]
+        spanex_refs = list(rest[-split:])
+        rest = rest[:-split]
+        spanex_ref = spanex_refs[0]
     if any(o.tex is not None for o in objspecs):
         tex_ref, z_ref, gid_ref, color_ref, scr_ref = rest
     else:
@@ -1644,7 +1649,7 @@ def _raster_kernel_queue_shaded(wi_tile, starts, counts, item_ext, lcounts,
     ty = tile // tiles_x
     tx = tile - ty * tiles_x
     ci = g - item_ext[tile]
-    if not dual:
+    if split == 1:
         s = starts[tile]
         base = (s // blk + ci) * blk
         head = s - base
@@ -1669,41 +1674,42 @@ def _raster_kernel_queue_shaded(wi_tile, starts, counts, item_ext, lcounts,
         # tile, which dominated small scenes on fine tile grids.
         return jnp.where(has, lo, blk // CHUNK_T), jnp.where(has, hi, 0)
 
-    if dual:
-        loA, hiA, validA = _half_block_bounds(starts, counts, 2 * tile,
-                                              ci, blk)
-        loB, hiB, validB = _half_block_bounds(starts, counts,
-                                              2 * tile + 1, ci, blk)
-        hasA = validA & (hiA > loA)
-        hasB = validB & (hiB > loB)
-        half_w = tile_w // 2
+    if split > 1:
+        bounds = [
+            _half_block_bounds(starts, counts, split * tile + s_, ci, blk)
+            for s_ in range(split)
+        ]
+        has = [v & (hi > lo) for (lo, hi, v) in bounds]
+        any_has = functools.reduce(jnp.logical_or, has)
+        sub_w = tile_w // split
         x0 = (origin[1] + tx * tile_w).astype(F32)
 
-        @pl.when(hasA | hasB)
+        @pl.when(any_has)
         def _():
             yf_col = (
                 origin[0] + ty * tile_h
                 + jax.lax.broadcasted_iota(jnp.int32, (tile_h, 1), 0)
             ).astype(F32)
-            _stage_a_fill(spanex_ref, jnp.transpose(rec_ref[0]), yf_col,
-                          loA, hiA, w_f, fields, tile_h,
-                          x0, x0 + F32(half_w - 1))
-            _stage_a_fill(spanex_b_ref, jnp.transpose(rec_b_ref[0]),
-                          yf_col, loB, hiB, w_f, fields, tile_h,
-                          x0 + F32(half_w), x0 + F32(tile_w - 1))
+            for s_ in range(split):
+                lo_s, hi_s, _v = bounds[s_]
+                _stage_a_fill(spanex_refs[s_],
+                              jnp.transpose(rec_refs[s_][0]), yf_col,
+                              lo_s, hi_s, w_f, fields, tile_h,
+                              x0 + F32(s_ * sub_w),
+                              x0 + F32((s_ + 1) * sub_w - 1))
 
         def sub_body(sub, _):
-            rec_a = spanex_ref[pl.ds(sub * CHUNK_T, CHUNK_T), :]
-            rec_b = spanex_b_ref[pl.ds(sub * CHUNK_T, CHUNK_T), :]
-            best = _chunk_best_spanex_dual(rec_a, rec_b, xc, half_w,
-                                           len(fields), tile_h, tile_w)
+            chunk = [r[pl.ds(sub * CHUNK_T, CHUNK_T), :]
+                     for r in spanex_refs]
+            best = _chunk_best_spanex_split(chunk, xc, sub_w,
+                                            len(fields), tile_h, tile_w)
             _merge_chunk_shaded(best, z_ref, gid_ref, scr_ref)
             return 0
 
-        alo, ahi = chunk_span(loA, hiA, hasA)
-        blo, bhi = chunk_span(loB, hiB, hasB)
-        sub_lo = jnp.minimum(alo, blo)
-        sub_hi = jnp.maximum(ahi, bhi)
+        spans = [chunk_span(lo, hi, h)
+                 for (lo, hi, _v), h in zip(bounds, has)]
+        sub_lo = functools.reduce(jnp.minimum, [s_[0] for s_ in spans])
+        sub_hi = functools.reduce(jnp.maximum, [s_[1] for s_ in spans])
     elif wide:
         @pl.when(n > head)
         def _():
@@ -1731,7 +1737,7 @@ def _raster_kernel_queue_shaded(wi_tile, starts, counts, item_ext, lcounts,
             _merge_chunk_shaded(best, z_ref, gid_ref, scr_ref)
             return 0
 
-    if not dual:
+    if split == 1:
         sub_lo, sub_hi = chunk_span(head, n, n > head)
     jax.lax.fori_loop(sub_lo, sub_hi, sub_body, 0)
 
@@ -1965,21 +1971,23 @@ def rasterize_scene_shaded(
         # stage A over WIDE_BLK-entry blocks; sparse 32-row grids keep
         # narrow 64-entry blocks with per-chunk span setup (most of their
         # work items hold only a few real entries). Wide grids also bin
-        # at HALF-tile (64-column) granularity and fold one entry of each
-        # half per chunk slot (dual packing — tiny triangles cover a few
-        # pixels, so every (8, 128) fragment op serving two entries
-        # nearly halves stage-B cost; the halves are spatially disjoint
-        # so winners/ties/values are bit-identical).
+        # at sub-tile column granularity (PACK_SPLIT bins per tile) and
+        # fold one entry of each sub-bin per chunk slot (split packing —
+        # tiny triangles cover a few pixels, so every (8, 128) fragment
+        # op serving PACK_SPLIT entries divides stage-B cost; the bins
+        # are spatially disjoint so winners/ties/values are
+        # bit-identical).
         wide = tile_h <= 8
-        dual = wide and DUAL_PACKING
+        assert PACK_SPLIT in (1, 2, 4), PACK_SPLIT
+        split = PACK_SPLIT if wide else 1
         blk = WIDE_BLK if wide else QUEUE_BLK
         qbins = bin_triangles_queue(
             edges, height,
-            tiles_x * TILE_W if dual else width,
-            tile_h, TILE_W // 2 if dual else TILE_W, blk,
+            tiles_x * TILE_W if split > 1 else width,
+            tile_h, TILE_W // split, blk,
             expansion=expansion, budget_factor=budget_factor,
             frame_height=frame_height, frame_width=frame_width,
-            row0=row0, col0=col0, bbox=bbox, pair_cols=dual,
+            row0=row0, col0=col0, bbox=bbox, col_split=split,
         )
         rec_stream, n_blocks = _queue_stream(edges, qbins, recs, blk)
         maxw = qbins.wi_tile.shape[0]
@@ -2010,18 +2018,18 @@ def rasterize_scene_shaded(
             _raster_kernel_queue_shaded, frame_width=frame_width,
             fields=fields, objspecs=objspecs, n_lights=n_lights,
             tiles_x=tiles_x, tile_h=tile_h, tile_w=TILE_W, blk=blk,
-            wide=wide, dual=dual,
+            wide=wide, split=split,
         )
-        if dual:
-            rec_index_a, rec_index_b, out_index8 = _queue_index_maps_dual(
-                tiles_x, n_blocks, blk
+        if split > 1:
+            rec_indexes, out_index8 = _queue_index_maps_split(
+                tiles_x, n_blocks, blk, split
             )
             in_specs = [
-                pl.BlockSpec((1, blk, REC_LANES), rec_index_a),
-                pl.BlockSpec((1, blk, REC_LANES), rec_index_b),
+                pl.BlockSpec((1, blk, REC_LANES), ri) for ri in rec_indexes
+            ] + [
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # side list
             ]
-            operands = [rec_stream, rec_stream, lshared]
+            operands = [rec_stream] * split + [lshared]
         else:
             rec_index, out_index, _ = _queue_index_maps(tiles_x, n_blocks,
                                                         blk)
@@ -2045,9 +2053,8 @@ def rasterize_scene_shaded(
         queue_scratch = list(scratch)
         if wide:
             _, _, span_lanes = _spanex_layout(len(fields), tile_h)
-            queue_scratch.append(pltpu.VMEM((blk, span_lanes), F32))
-        if dual:
-            queue_scratch.append(pltpu.VMEM((blk, span_lanes), F32))
+            for _ in range(split):
+                queue_scratch.append(pltpu.VMEM((blk, span_lanes), F32))
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=8,
             grid=(maxw,),

@@ -143,13 +143,14 @@ def stage_breakdown(obj, cfg, transform, lights, height: int, width: int,
 
     # Mirror rasterize_scene_shaded's actual sorted-path parameters so the
     # deltas attribute to the stages the real pipeline runs (incl. the
-    # wide path's dual 64-column binning).
+    # wide path's split-column binning).
     exp, bf = rp._queue_expansion(tile_h, T)
-    dual = tile_h <= 8 and rp.DUAL_PACKING
-    blk = rp.WIDE_BLK if dual else rp.QUEUE_BLK
+    wide = tile_h <= 8
+    split = rp.PACK_SPLIT if wide else 1
+    blk = rp.WIDE_BLK if wide else rp.QUEUE_BLK
     _tx = -(-width // rp.TILE_W)
-    bin_w = rp.TILE_W // 2 if dual else rp.TILE_W
-    bin_width = _tx * rp.TILE_W if dual else width
+    bin_w = rp.TILE_W // split
+    bin_width = _tx * rp.TILE_W if split > 1 else width
 
     def p_bin(o):
         recs, bbox = _setup(o)
@@ -160,7 +161,7 @@ def stage_breakdown(obj, cfg, transform, lights, height: int, width: int,
         q = bin_triangles_queue(None, height, bin_width, tile_h, bin_w,
                                 blk, expansion=exp, budget_factor=bf,
                                 bbox=bbox, frame_height=height,
-                                frame_width=width, pair_cols=dual)
+                                frame_width=width, col_split=split)
         # The full-record term keeps each prefix's upstream work
         # identical (no DCE skew in the deltas).
         return jnp.sum(q.counts).astype(jnp.float32) + _consume(recs)
@@ -172,7 +173,7 @@ def stage_breakdown(obj, cfg, transform, lights, height: int, width: int,
         q = bin_triangles_queue(None, height, bin_width, tile_h, bin_w,
                                 blk, expansion=exp, budget_factor=bf,
                                 bbox=bbox, frame_height=height,
-                                frame_width=width, pair_cols=dual)
+                                frame_width=width, col_split=split)
         if not use_fused_setup:
             recs = rp.finish_records(recs)
         stream, _ = rp._queue_stream(None, q, recs, blk)
