@@ -46,20 +46,26 @@ def test_wide_sorted_matches_mask_tile8(phong):
     assert outs["mask"][0].any()
 
 
-def test_wide_sorted_textured_tile8():
+@pytest.mark.parametrize("split", [2, 4])
+def test_wide_sorted_textured_tile8(split):
     """Fused MXU texture sampling through the wide path (atlas finalize
-    runs off the spanex scratch's uv planes)."""
+    runs off the spanex scratch's uv planes), at both column splits."""
     from tpu_renderer.models.textures import checkerboard as cb
 
     tex = cb(32, 32, 4)
     edges, tr, li, cfg = _edges(1, texture=tex)
     outs = {}
-    for strat in ("mask", "sorted"):
-        cov, z, col, stats = rp.rasterize_pallas_shaded(
-            edges, tr, li, False, H, W, strategy=strat, tile_h=8,
-            texture=tex,
-        )
-        outs[strat] = (np.asarray(cov), np.asarray(z), np.asarray(col))
+    orig = rp.PACK_SPLIT
+    try:
+        rp.PACK_SPLIT = split
+        for strat in ("mask", "sorted"):
+            cov, z, col, stats = rp.rasterize_pallas_shaded(
+                edges, tr, li, False, H, W, strategy=strat, tile_h=8,
+                texture=tex,
+            )
+            outs[strat] = (np.asarray(cov), np.asarray(z), np.asarray(col))
+    finally:
+        rp.PACK_SPLIT = orig
     for a, b in zip(outs["mask"], outs["sorted"]):
         np.testing.assert_array_equal(a, b)
     assert outs["mask"][0].any()
