@@ -340,6 +340,41 @@ def test_queue_entry_budget_overflow_counted():
     assert int(q3.n_dropped) < int(q.n_dropped)
 
 
+def test_queue_sort_paths_identical():
+    """The packed-u32-key sort and the two-array stable-sort fallback
+    (taken when (bins, T) exceed 32 bits — e.g. 2M triangles on a
+    split-column 1080p grid) must produce identical QueueBins. Test
+    scales always fit the packed key, so the fallback is pinned via
+    FORCE_PAIR_SORT on the same scene, including a split-column grid
+    and an overflowing budget (drop selection must match too)."""
+    from tpu_renderer.ops import binning
+    from tpu_renderer.ops.binning import bin_triangles_queue
+
+    edges = edges_for(4)  # sphere, ~2.2k triangles
+    cases = [
+        dict(tile_h=8, tile_w=128, blk=64),
+        dict(tile_h=8, tile_w=64, blk=64, col_split=2),
+        dict(tile_h=8, tile_w=128, blk=64, budget_factor=0.25),
+    ]
+    for kw in cases:
+        blk = kw.pop("blk")
+        tile_h = kw.pop("tile_h")
+        tile_w = kw.pop("tile_w")
+        q_packed = bin_triangles_queue(edges, H, W, tile_h, tile_w, blk,
+                                       **kw)
+        binning.FORCE_PAIR_SORT = True
+        try:
+            q_pair = bin_triangles_queue(edges, H, W, tile_h, tile_w,
+                                         blk, **kw)
+        finally:
+            binning.FORCE_PAIR_SORT = False
+        for name, a, b in zip(q_packed._fields, q_packed, q_pair):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b),
+                err_msg=f"{name} differs ({kw})",
+            )
+
+
 def test_mask_strategy_vmem_guard():
     """Explicit 'mask' with a capacity whose record blocks would blow VMEM
     must be rejected loudly, not OOM the chip."""

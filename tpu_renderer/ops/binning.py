@@ -298,6 +298,9 @@ def bin_triangle_subset(
 
 
 
+FORCE_PAIR_SORT = False  # test hook: force the two-array stable sort
+
+
 class QueueBins(NamedTuple):
     """Work-queue bins for large triangle counts (no per-tile capacity).
 
@@ -418,9 +421,12 @@ def bin_triangles_queue(
     # key order == stable-by-tile with submission order per tile — a single
     # u32 key sort halves the sort payload (the dominant binning cost at
     # multi-M triangle counts: the two-array i32 sort measured ~10 ms of
-    # the 19 ms binning stage at 1M triangles).
+    # the 19 ms binning stage at 1M triangles). The two-array fallback
+    # covers (bins, T) combinations past 32 bits (e.g. 2M triangles on a
+    # split-column 1080p grid); FORCE_PAIR_SORT lets tests pin both paths
+    # to identical outputs at test scale.
     tri_bits = max(1, int(T - 1).bit_length()) if T > 1 else 1
-    if (ntiles + 1) << tri_bits < (1 << 32):
+    if not FORCE_PAIR_SORT and (ntiles + 1) << tri_bits < (1 << 32):
         key = (
             (entry_tile.astype(jnp.uint32) << tri_bits)
             | entry_tri.astype(jnp.uint32)
