@@ -1,0 +1,74 @@
+"""Interleaved A/B: COMPACT_ENTRIES on/off (pre-sort entry compaction)
+at 1M and 2M triangles, 1080p Phong, end-to-end frames.
+
+At the dense-grid default (expansion 4, budget 1.5T) compaction shrinks
+the sort from 4T mostly-sentinel slots to 1.5T entries at the price of
+one cumsum + scatter over 4T — .probe_sort.py measures the pieces; this
+measures the net. One process, both variants compiled first, then
+alternating reps (CLAUDE.md timing rules).
+"""
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+import tpu_renderer.ops.binning as binning
+from tpu_renderer.core.types import ObjectConfig, make_framebuffer, \
+    make_object
+from tpu_renderer.engine.renderer import render_scene
+from tpu_renderer.geometry.transform import rotate_object, rotation_y
+from tpu_renderer.models import scenes
+from tpu_renderer.models.primitives import construct_sphere_grid
+
+H, W = 1080, 1920
+_, tr_d, li_d = scenes.baseline_scene(4, H, W)
+_, tr, li = scenes.to_jax_scene([], tr_d, li_d)
+print("device:", jax.devices()[0], flush=True)
+
+
+def make_fn(obj, cfg):
+    @jax.jit
+    def frames(obj, transform, lights, angles):
+        def body(carry, angle):
+            a = angle + carry * jnp.float32(1e-30)
+            spun = rotate_object(obj, rotation_y(a))
+            fb = render_scene(
+                make_framebuffer(H, W), [(spun, cfg)], transform, lights,
+                backend="pallas",
+            )
+            check = jnp.sum(
+                jnp.where(fb.depth > -3.0e38, fb.depth, 0.0)
+            ) + (fb.color[13, 17] & 255).astype(jnp.float32)
+            return carry + check * jnp.float32(1e-20), 0
+        return jax.lax.scan(body, jnp.float32(0.0), angles)[0]
+
+    return frames
+
+
+for lat, lon, iters in ((1000, 1001, 8), (1415, 1416, 5)):
+    obj = jax.device_put(
+        make_object((0.0, 0.0, 0.0), **construct_sphere_grid(lat, lon))
+    )
+    cfg = ObjectConfig(phong=True)
+    angles = jnp.linspace(0.0, 0.6, iters).astype(jnp.float32)
+    fns, checks = {}, {}
+    for compact in (False, True):
+        binning.COMPACT_ENTRIES = compact
+        fns[compact] = make_fn(obj, cfg)
+        checks[compact] = float(fns[compact](obj, tr, li, angles))
+    binning.COMPACT_ENTRIES = False
+    res = {c: [] for c in fns}
+    for rep in range(5):
+        for c in fns:
+            t0 = time.perf_counter()
+            _ = float(fns[c](obj, tr, li, angles))
+            res[c].append((time.perf_counter() - t0) / iters * 1e3)
+    print(json.dumps({
+        "T": int(obj.num_triangles),
+        "checks_equal": len(set(checks.values())) == 1,
+        "off_ms": round(sorted(res[False])[2], 2),
+        "on_ms": round(sorted(res[True])[2], 2),
+        "all_off": [round(x, 1) for x in res[False]],
+        "all_on": [round(x, 1) for x in res[True]],
+    }), flush=True)

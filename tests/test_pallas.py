@@ -375,6 +375,50 @@ def test_queue_sort_paths_identical():
             )
 
 
+def test_queue_compaction_equivalent():
+    """COMPACT_ENTRIES (pre-sort cumsum+scatter compaction, an on-chip
+    A/B candidate) must be bit-identical to the sorted-prefix path when
+    nothing overflows the entry budget, and must count the same number
+    of drops when something does (the drop SELECTION legitimately
+    differs — latest submissions vs highest tiles — and is documented
+    at the flag)."""
+    from tpu_renderer.ops import binning
+    from tpu_renderer.ops.binning import bin_triangles_queue
+
+    edges = edges_for(4)  # sphere, ~2.2k triangles
+
+    def both(**kw):
+        q0 = bin_triangles_queue(edges, H, W, 8, 64, 64, col_split=2,
+                                 **kw)
+        binning.COMPACT_ENTRIES = True
+        try:
+            q1 = bin_triangles_queue(edges, H, W, 8, 64, 64, col_split=2,
+                                     **kw)
+        finally:
+            binning.COMPACT_ENTRIES = False
+        return q0, q1
+
+    q0, q1 = both()
+    assert int(q0.n_dropped) == 0
+    n_real = int(np.asarray(q0.starts)[-1])
+    for name, a, b in zip(q0._fields, q0, q1):
+        a, b = np.asarray(a), np.asarray(b)
+        if name == "sorted_tri":
+            # Beyond the last tile's entry range the stream is padding
+            # no work item ever reads; the two paths fill it differently
+            # (sentinel-entry tri payloads vs zeros).
+            a, b = a[:n_real], b[:n_real]
+        np.testing.assert_array_equal(a, b, err_msg=f"{name} differs")
+
+    # Overflow: same drop COUNT (selection differs by design).
+    q0, q1 = both(budget_factor=0.25)
+    assert int(q0.n_dropped) > 0
+    assert int(q0.n_dropped) == int(q1.n_dropped)
+    np.testing.assert_array_equal(
+        np.asarray(q0.counts).sum(), np.asarray(q1.counts).sum()
+    )
+
+
 def test_mask_strategy_vmem_guard():
     """Explicit 'mask' with a capacity whose record blocks would blow VMEM
     must be rejected loudly, not OOM the chip."""

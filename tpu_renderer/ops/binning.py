@@ -299,6 +299,15 @@ def bin_triangle_subset(
 
 
 FORCE_PAIR_SORT = False  # test hook: force the two-array stable sort
+# Compact real entries into the budget-sized array BEFORE the sort (one
+# cumsum + scatter) so the sort runs over entry_budget elements instead of
+# T*expansion mostly-sentinel slots (~2.7x fewer at the dense-grid default
+# expansion 4 / budget 1.5T). Default chosen by on-chip A/B; either value
+# is bit-identical when nothing overflows the budget (tested). On
+# overflow, drop SELECTION differs: latest submissions drop (generation-
+# order clip) instead of highest tile ids (sorted-prefix clip) — both
+# counted, never silent.
+COMPACT_ENTRIES = False
 
 
 class QueueBins(NamedTuple):
@@ -416,6 +425,25 @@ def bin_triangles_queue(
         jnp.arange(T, dtype=jnp.int32)[:, None], (T, expansion)
     ).reshape(-1)
 
+    # Static entry budget: the kept record layout is exactly entry_budget
+    # sorted entries; anything beyond drops, counted.
+    entry_budget = int(-(-(budget_factor * max(T, blk)) // blk)) * blk
+    entry_budget = min(entry_budget, -(-(T * expansion) // blk) * blk)
+
+    compact_drops = jnp.zeros((), jnp.int32)
+    if COMPACT_ENTRIES:
+        keepm = entry_tile < ntiles
+        pos = jnp.cumsum(keepm.astype(jnp.int32)) - 1
+        n_real = pos[-1] + 1
+        compact_drops = jnp.maximum(n_real - entry_budget, 0)
+        tgt = jnp.where(keepm & (pos < entry_budget), pos, entry_budget)
+        entry_tile = jnp.full(
+            (entry_budget + 1,), ntiles, jnp.int32
+        ).at[tgt].set(entry_tile, mode="drop")[:entry_budget]
+        entry_tri = jnp.zeros(
+            (entry_budget + 1,), jnp.int32
+        ).at[tgt].set(entry_tri, mode="drop")[:entry_budget]
+
     # Stable sort by tile keeps triangle-major (= submission) order per tile.
     # When (tile, tri) packs into one u32 — tri in the LOW bits, so plain
     # key order == stable-by-tile with submission order per tile — a single
@@ -451,14 +479,13 @@ def bin_triangles_queue(
         ).astype(jnp.int32)
     total_real = starts_full[ntiles]
 
-    # Static entry budget: the sorted prefix [0, EB) is kept verbatim as
-    # the record layout; real entries past it (sentinel-tile entries sort
-    # last, so the prefix is exactly the first EB real entries) drop.
-    entry_budget = int(-(-(budget_factor * max(T, blk)) // blk)) * blk
-    entry_budget = min(entry_budget, -(-(T * expansion) // blk) * blk)
+    # The sorted prefix [0, EB) is kept verbatim as the record layout;
+    # real entries past it (sentinel-tile entries sort last, so the
+    # prefix is exactly the first EB real entries) drop. Under
+    # COMPACT_ENTRIES the clip already happened pre-sort (compact_drops).
     starts = jnp.minimum(starts_full, entry_budget)  # (ntiles + 1,) clipped
     keep_t = starts[1:] - starts[:-1]
-    entry_drops = jnp.maximum(total_real - entry_budget, 0)
+    entry_drops = jnp.maximum(total_real - entry_budget, 0) + compact_drops
     sorted_tri = jax.lax.slice(
         jnp.pad(sorted_tri, (0, max(0, entry_budget - sorted_tri.shape[0]))),
         (0,), (entry_budget,),
