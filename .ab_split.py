@@ -1,7 +1,7 @@
-"""Probe: interleaved A/B/C of PACK_SPLIT 1 (single 128-col bin),
-2 (dual 64-col), 4 (quad 32-col) at 1M and 2M triangles, 1080p Phong.
-One process, all variants compiled first, then alternating reps
-(CLAUDE.md timing rules).
+"""Probe: interleaved A/B of PACK_SPLIT 1 (single 128-col bin),
+2 (dual 64-col), 4 (quad 32-col), 8 (octal 16-col) at 1M and 2M
+triangles, 1080p Phong. One process, all variants compiled first, then
+alternating reps (CLAUDE.md timing rules).
 """
 import json
 import time
@@ -22,7 +22,7 @@ _, tr_d, li_d = scenes.baseline_scene(4, H, W)
 _, tr, li = scenes.to_jax_scene([], tr_d, li_d)
 print("device:", jax.devices()[0], flush=True)
 
-SPLITS = (2, 1, 4)
+SPLITS = (2, 1, 4, 8)
 
 
 def make_fn(obj, cfg):

@@ -46,7 +46,7 @@ def test_wide_sorted_matches_mask_tile8(phong):
     assert outs["mask"][0].any()
 
 
-@pytest.mark.parametrize("split", [2, 4])
+@pytest.mark.parametrize("split", [2, 4, 8])
 def test_wide_sorted_textured_tile8(split):
     """Fused MXU texture sampling through the wide path (atlas finalize
     runs off the spanex scratch's uv planes), at both column splits."""
@@ -120,16 +120,17 @@ def test_setup_records_matches_packed_edge_table(config):
 
 @pytest.mark.parametrize("phong", [True, False])
 def test_pack_split_variants_bit_exact(phong):
-    """PACK_SPLIT 1 (single full-width bin), 2 (dual 64-column), and 4
-    (quad 32-column) must all be bit-exact: the sub-bins of a split tile
-    are spatially disjoint by construction (stage A clips each entry's
-    span to its bin), so winners, ties, and interpolated values may not
-    differ. Split 1 is the control arm of every split A/B probe."""
+    """PACK_SPLIT 1 (single full-width bin), 2 (dual 64-column), 4
+    (quad 32-column), and 8 (octal 16-column) must all be bit-exact: the
+    sub-bins of a split tile are spatially disjoint by construction
+    (stage A clips each entry's span to its bin), so winners, ties, and
+    interpolated values may not differ. Split 1 is the control arm of
+    every split A/B probe."""
     edges, tr, li, _ = _edges(4, ObjectConfig(phong=phong))
     outs = {}
     orig = rp.PACK_SPLIT
     try:
-        for split in (2, 1, 4):
+        for split in (2, 1, 4, 8):
             rp.PACK_SPLIT = split
             cov, z, col, stats = rp.rasterize_pallas_shaded(
                 edges, tr, li, phong, H, W, strategy="sorted", tile_h=8
@@ -138,7 +139,7 @@ def test_pack_split_variants_bit_exact(phong):
             outs[split] = (np.asarray(cov), np.asarray(z), np.asarray(col))
     finally:
         rp.PACK_SPLIT = orig
-    for split in (1, 4):
+    for split in (1, 4, 8):
         for a, b in zip(outs[2], outs[split]):
             np.testing.assert_array_equal(a, b)
     assert outs[2][0].any()

@@ -156,10 +156,15 @@ TILE8_PX_PER_TRI = 256
 # Fine-tile grids bin at sub-tile column granularity (128/PACK_SPLIT
 # columns per bin) and the queue kernel folds one entry of each sub-bin
 # per chunk slot ("split packing"; 2 = dual 64-column, 4 = quad
-# 32-column) — tiny triangles cover a few pixels, so every (8, 128)
-# fragment op serving PACK_SPLIT entries divides stage-B cost. Module
-# flag (trace-time constant) so A/B probes can compile variants in one
-# process. Valid values: 1 (single full-width bin), 2, 4.
+# 32-column, 8 = octal 16-column) — tiny triangles cover a few pixels,
+# so every (8, 128) fragment op serving PACK_SPLIT entries divides
+# stage-B cost. Module flag (trace-time constant) so A/B probes can
+# compile variants in one process. Valid values: 1 (single full-width
+# bin), 2, 4, 8. Costs that grow with the split: boundary-crossing
+# entries duplicate into both bins (~bbox_w/sub_w extra entries), the
+# per-plane lane-select tree deepens (log2(split) selects), and a
+# block's chunk count is the MAX over its sub-bins, so skewed bins
+# waste steps — the default is chosen by hardware A/B (.ab_split.py).
 PACK_SPLIT = 2
 
 # Per-edge field layout inside the packed record (28 floats per edge;
@@ -1978,7 +1983,7 @@ def rasterize_scene_shaded(
         # are spatially disjoint so winners/ties/values are
         # bit-identical).
         wide = tile_h <= 8
-        assert PACK_SPLIT in (1, 2, 4), PACK_SPLIT
+        assert PACK_SPLIT in (1, 2, 4, 8), PACK_SPLIT
         split = PACK_SPLIT if wide else 1
         blk = WIDE_BLK if wide else QUEUE_BLK
         qbins = bin_triangles_queue(
