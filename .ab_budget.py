@@ -1,0 +1,81 @@
+"""Interleaved A/B: entry budget factor 1.5 (default) vs 1.25 vs 1.2 at
+1M/2M triangles, 1080p Phong, end-to-end frames.
+
+The static entry budget sets the record-gather length (~13 ns/row), the
+raster work-item count, and (under COMPACT_ENTRIES) the sort size — all
+linear in the factor. Real entries on these meshes run ~1.2 per visible
+triangle, so tighter factors should be drop-free here; the probe PRINTS
+the drop count per variant so a nonzero one disqualifies itself. One
+process, all variants compiled first, then alternating reps (CLAUDE.md
+timing rules).
+"""
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+import tpu_renderer.ops.raster_pallas as rp
+from tpu_renderer.core.types import ObjectConfig, make_framebuffer, \
+    make_object
+from tpu_renderer.engine.renderer import render_scene
+from tpu_renderer.geometry.transform import rotate_object, rotation_y
+from tpu_renderer.models import scenes
+from tpu_renderer.models.primitives import construct_sphere_grid
+
+H, W = 1080, 1920
+_, tr_d, li_d = scenes.baseline_scene(4, H, W)
+_, tr, li = scenes.to_jax_scene([], tr_d, li_d)
+print("device:", jax.devices()[0], flush=True)
+
+FACTORS = (1.5, 1.25, 1.2)
+
+
+def make_fn(obj, cfg):
+    @jax.jit
+    def frames(obj, transform, lights, angles):
+        def body(carry, angle):
+            a = angle + carry * jnp.float32(1e-30)
+            spun = rotate_object(obj, rotation_y(a))
+            stats = {}
+            fb = render_scene(
+                make_framebuffer(H, W), [(spun, cfg)], transform, lights,
+                backend="pallas", stats=stats,
+            )
+            check = jnp.sum(
+                jnp.where(fb.depth > -3.0e38, fb.depth, 0.0)
+            ) + (fb.color[13, 17] & 255).astype(jnp.float32)
+            drops = stats["bins_dropped"].astype(jnp.float32)
+            return carry + check * jnp.float32(1e-20), drops
+        c, d = jax.lax.scan(body, jnp.float32(0.0), angles)
+        return c, jnp.max(d)
+
+    return frames
+
+
+for lat, lon, iters in ((1000, 1001, 8), (1415, 1416, 5)):
+    obj = jax.device_put(
+        make_object((0.0, 0.0, 0.0), **construct_sphere_grid(lat, lon))
+    )
+    cfg = ObjectConfig(phong=True)
+    angles = jnp.linspace(0.0, 0.6, iters).astype(jnp.float32)
+    fns, checks, drops = {}, {}, {}
+    for f in FACTORS:
+        rp.BUDGET_FACTOR_OVERRIDE = None if f == 1.5 else f
+        fns[f] = make_fn(obj, cfg)
+        c, d = fns[f](obj, tr, li, angles)
+        checks[f], drops[f] = float(c), float(d)
+    rp.BUDGET_FACTOR_OVERRIDE = None
+    res = {f: [] for f in fns}
+    for rep in range(5):
+        for f in fns:
+            t0 = time.perf_counter()
+            _ = jax.block_until_ready(fns[f](obj, tr, li, angles))
+            res[f].append((time.perf_counter() - t0) / iters * 1e3)
+    print(json.dumps({
+        "T": int(obj.num_triangles),
+        "checks_equal": len(set(checks.values())) == 1,
+        "drops": drops,
+        **{f"f{f}_ms": round(sorted(v)[2], 2) for f, v in res.items()},
+        "all": {str(f): [round(x, 1) for x in v] for f, v in res.items()},
+    }), flush=True)

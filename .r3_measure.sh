@@ -41,3 +41,7 @@ run probe_sort 1800 python .probe_sort.py
 echo "ALL DONE2 $(date -u +%H:%M:%S)" >> /tmp/r3m/driver.log
 run ab_compact 2400 python .ab_compact.py
 echo "ALL DONE3 $(date -u +%H:%M:%S)" >> /tmp/r3m/driver.log
+run probe_setup_blk 2400 python .probe_setup_blk.py
+echo "ALL DONE4 $(date -u +%H:%M:%S)" >> /tmp/r3m/driver.log
+run ab_budget 2400 python .ab_budget.py
+echo "ALL DONE5 $(date -u +%H:%M:%S)" >> /tmp/r3m/driver.log

@@ -121,28 +121,35 @@ def test_setup_records_matches_packed_edge_table(config):
 @pytest.mark.parametrize("phong", [True, False])
 def test_pack_split_variants_bit_exact(phong):
     """PACK_SPLIT 1 (single full-width bin), 2 (dual 64-column), 4
-    (quad 32-column), and 8 (octal 16-column) must all be bit-exact: the
-    sub-bins of a split tile are spatially disjoint by construction
-    (stage A clips each entry's span to its bin), so winners, ties, and
-    interpolated values may not differ. Split 1 is the control arm of
-    every split A/B probe."""
+    (quad 32-column), 8 (octal 16-column), and 16 — under BOTH sub-bin
+    merge lowerings (SPLIT_MERGE 'tree' and 'repeat') — must all be
+    bit-exact: the sub-bins of a split tile are spatially disjoint by
+    construction (stage A clips each entry's span to its bin), so
+    winners, ties, and interpolated values may not differ. Split 1 is
+    the control arm of every split A/B probe."""
     edges, tr, li, _ = _edges(4, ObjectConfig(phong=phong))
     outs = {}
-    orig = rp.PACK_SPLIT
+    orig, orig_m = rp.PACK_SPLIT, rp.SPLIT_MERGE
     try:
-        for split in (2, 1, 4, 8):
-            rp.PACK_SPLIT = split
+        for split, merge in ((2, "tree"), (1, "tree"), (4, "tree"),
+                             (8, "tree"), (16, "tree"), (2, "repeat"),
+                             (8, "repeat"), (16, "repeat")):
+            rp.PACK_SPLIT, rp.SPLIT_MERGE = split, merge
             cov, z, col, stats = rp.rasterize_pallas_shaded(
                 edges, tr, li, phong, H, W, strategy="sorted", tile_h=8
             )
             assert int(stats["bins_dropped"]) == 0
-            outs[split] = (np.asarray(cov), np.asarray(z), np.asarray(col))
+            outs[(split, merge)] = (
+                np.asarray(cov), np.asarray(z), np.asarray(col)
+            )
     finally:
-        rp.PACK_SPLIT = orig
-    for split in (1, 4, 8):
-        for a, b in zip(outs[2], outs[split]):
+        rp.PACK_SPLIT, rp.SPLIT_MERGE = orig, orig_m
+    for key in outs:
+        if key == (2, "tree"):
+            continue
+        for a, b in zip(outs[2, "tree"], outs[key]):
             np.testing.assert_array_equal(a, b)
-    assert outs[2][0].any()
+    assert outs[2, "tree"][0].any()
 
 
 def test_tile_height_policy_is_area_relative():

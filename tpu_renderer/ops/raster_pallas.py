@@ -121,6 +121,14 @@ _BIG = 3.4028235e38
 AUTO_SORTED_THRESHOLD = 512  # auto switches to sorted binning above this
 
 
+# Probe hook: when set, overrides _queue_expansion's budget factor (the
+# static entry budget sets the length of the per-frame record gather at
+# ~13 ns/row AND the sort size under COMPACT_ENTRIES, so tightening it is
+# a direct stream/raster saving — at the price of a smaller overflow
+# margin; drops stay counted, never silent).
+BUDGET_FACTOR_OVERRIDE = None
+
+
 def _queue_expansion(tile_h: int, num_triangles: int):
     """(expansion, budget_factor) for the sorted strategy's entry stream.
 
@@ -138,10 +146,14 @@ def _queue_expansion(tile_h: int, num_triangles: int):
     2x-plus margin even for meshes with no culled faces. Overflow is
     counted in stats['bins_dropped'], never silent."""
     if tile_h >= 32 and num_triangles <= 16384:
-        return 32, 4
-    if tile_h <= 8 and num_triangles > 65536:
-        return 4, 1.5
-    return 8, 2
+        exp, bf = 32, 4
+    elif tile_h <= 8 and num_triangles > 65536:
+        exp, bf = 4, 1.5
+    else:
+        exp, bf = 8, 2
+    if BUDGET_FACTOR_OVERRIDE is not None:
+        bf = BUDGET_FACTOR_OVERRIDE
+    return exp, bf
 # Auto-switch to 8-row tiles when the mean frame area per triangle drops
 # below this: small triangles make 32-row tiles waste 4x fragment work,
 # and dense scenes amortize the finer grid's per-step DMA latency. Below
@@ -160,12 +172,19 @@ TILE8_PX_PER_TRI = 256
 # so every (8, 128) fragment op serving PACK_SPLIT entries divides
 # stage-B cost. Module flag (trace-time constant) so A/B probes can
 # compile variants in one process. Valid values: 1 (single full-width
-# bin), 2, 4, 8. Costs that grow with the split: boundary-crossing
+# bin), 2, 4, 8, 16. Costs that grow with the split: boundary-crossing
 # entries duplicate into both bins (~bbox_w/sub_w extra entries), the
-# per-plane lane-select tree deepens (log2(split) selects), and a
-# block's chunk count is the MAX over its sub-bins, so skewed bins
-# waste steps — the default is chosen by hardware A/B (.ab_split.py).
+# per-plane merge cost (see SPLIT_MERGE), and a block's chunk count is
+# the MAX over its sub-bins, so skewed bins waste steps — the default is
+# chosen by hardware A/B (.ab_split.py).
 PACK_SPLIT = 2
+
+# How the split kernel merges sub-bin quantity planes: 'tree' (lane-select
+# tree; split-1 full-width selects per plane per chunk — the measured-safe
+# default) or 'repeat' (minor-axis stack + lane repeat; one op per plane
+# IF Mosaic lowers jnp.repeat as a lane shuffle). Bit-equal outputs
+# (tested); the default is chosen by hardware A/B (.ab_split.py).
+SPLIT_MERGE = "tree"
 
 # Per-edge field layout inside the packed record (28 floats per edge;
 # EDGE_STRIDE/GID_LANE/REC_LANES are owned by geometry.vertex, which WRITES
@@ -868,9 +887,19 @@ def _chunk_best_spanex_split(recs, xc, sub_w, n_fields, tile_h, tile_w):
     via mlo/mhi in stage A), so the per-pixel fold sees exactly the
     entries of ITS bin in stream order — identical winners, ties, and
     values to running the streams separately (projekt.cpp:495
-    first-writer rule). Quantities merge with a lane-select tree per
-    plane (1 select for dual, 3 for quad); the fragment math is
-    shared."""
+    first-writer rule). The fragment math is shared; sub-bin quantities
+    merge per SPLIT_MERGE:
+
+    - 'tree': binary lane-select tree per plane, log2(split) levels but
+      split-1 full-width selects — per-ENTRY merge cost approaches one
+      full plane rebuild as split grows, capping the split win.
+    - 'repeat': stack the sub-bin values on a size-``split`` minor axis
+      and element-repeat each sub_w times along lanes (one relayout op
+      per plane if Mosaic lowers repeat as a lane shuffle — the hardware
+      A/B decides whether it does).
+
+    Both produce the identical blocked-by-bin layout, so outputs are
+    bit-equal (tested)."""
     split = len(recs)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, tile_w), 2)
 
@@ -886,11 +915,16 @@ def _chunk_best_spanex_split(recs, xc, sub_w, n_fields, tile_h, tile_w):
             tree(parts[half:], lo + half, width),
         )
 
+    def merge(parts):
+        # parts: one (C, R) plane per sub-bin -> (C, R, W) blocked by bin.
+        if SPLIT_MERGE == "repeat" and split > 1:
+            return jnp.repeat(
+                jnp.stack(parts, axis=2), sub_w, axis=2
+            )  # (C, R, split) -> (C, R, W)
+        return tree([p[:, :, None] for p in parts], 0, sub_w)
+
     def m3(i):
-        parts = [
-            r[:, i * tile_h:(i + 1) * tile_h][:, :, None] for r in recs
-        ]  # (C, R, 1) each
-        return tree(parts, 0, sub_w)  # (C, R, W)
+        return merge([r[:, i * tile_h:(i + 1) * tile_h] for r in recs])
 
     minx, mlo, mhi, xoff, zl, zinc = (m3(i) for i in range(SPANEX_QBASE))
     inspan = (xc >= mlo) & (xc <= mhi)
@@ -901,8 +935,14 @@ def _chunk_best_spanex_split(recs, xc, sub_w, n_fields, tile_h, tile_w):
         for i in range(n_fields)
     ]
     _, gid_lane, _ = _spanex_layout(n_fields, tile_h)
-    gparts = [r[:, gid_lane][:, None, None] for r in recs]  # (C, 1, 1)
-    gids = tree(gparts, 0, sub_w).astype(jnp.int32)  # (C, 1, W)
+    if SPLIT_MERGE == "repeat" and split > 1:
+        gids = jnp.repeat(
+            jnp.stack([r[:, gid_lane] for r in recs], axis=1)[:, None, :],
+            sub_w, axis=2,
+        ).astype(jnp.int32)  # (C, 1, W)
+    else:
+        gparts = [r[:, gid_lane][:, None, None] for r in recs]  # (C, 1, 1)
+        gids = tree(gparts, 0, sub_w).astype(jnp.int32)  # (C, 1, W)
     return _fold_chunk(inspan, zfrag, frags, gids, n_fields, tile_h,
                        tile_w)
 
@@ -1983,7 +2023,7 @@ def rasterize_scene_shaded(
         # are spatially disjoint so winners/ties/values are
         # bit-identical).
         wide = tile_h <= 8
-        assert PACK_SPLIT in (1, 2, 4, 8), PACK_SPLIT
+        assert PACK_SPLIT in (1, 2, 4, 8, 16), PACK_SPLIT
         split = PACK_SPLIT if wide else 1
         blk = WIDE_BLK if wide else QUEUE_BLK
         qbins = bin_triangles_queue(
