@@ -46,18 +46,21 @@ def test_wide_sorted_matches_mask_tile8(phong):
     assert outs["mask"][0].any()
 
 
-@pytest.mark.parametrize("split", [2, 4, 8])
-def test_wide_sorted_textured_tile8(split):
+@pytest.mark.parametrize("split,merge",
+                         [(2, "tree"), (4, "tree"), (8, "tree"),
+                          (8, "repeat"), (16, "repeat")])
+def test_wide_sorted_textured_tile8(split, merge):
     """Fused MXU texture sampling through the wide path (atlas finalize
-    runs off the spanex scratch's uv planes), at both column splits."""
+    runs off the spanex scratch's uv planes), across column splits and
+    both sub-bin merge lowerings."""
     from tpu_renderer.models.textures import checkerboard as cb
 
     tex = cb(32, 32, 4)
     edges, tr, li, cfg = _edges(1, texture=tex)
     outs = {}
-    orig = rp.PACK_SPLIT
+    orig, orig_m = rp.PACK_SPLIT, rp.SPLIT_MERGE
     try:
-        rp.PACK_SPLIT = split
+        rp.PACK_SPLIT, rp.SPLIT_MERGE = split, merge
         for strat in ("mask", "sorted"):
             cov, z, col, stats = rp.rasterize_pallas_shaded(
                 edges, tr, li, False, H, W, strategy=strat, tile_h=8,
@@ -65,7 +68,7 @@ def test_wide_sorted_textured_tile8(split):
             )
             outs[strat] = (np.asarray(cov), np.asarray(z), np.asarray(col))
     finally:
-        rp.PACK_SPLIT = orig
+        rp.PACK_SPLIT, rp.SPLIT_MERGE = orig, orig_m
     for a, b in zip(outs["mask"], outs["sorted"]):
         np.testing.assert_array_equal(a, b)
     assert outs["mask"][0].any()
