@@ -45,3 +45,5 @@ run probe_setup_blk 2400 python .probe_setup_blk.py
 echo "ALL DONE4 $(date -u +%H:%M:%S)" >> /tmp/r3m/driver.log
 run ab_budget 2400 python .ab_budget.py
 echo "ALL DONE5 $(date -u +%H:%M:%S)" >> /tmp/r3m/driver.log
+run ab_tileh 2400 python .ab_tileh.py
+echo "ALL DONE6 $(date -u +%H:%M:%S)" >> /tmp/r3m/driver.log

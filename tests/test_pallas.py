@@ -482,3 +482,44 @@ def test_narrow_queue_large_triangle_sidelist():
     for a, b in zip(outs["mask"], outs["sorted"]):
         np.testing.assert_array_equal(a, b)
     assert outs["mask"][0].any()
+
+
+@pytest.mark.parametrize("tile_h", [8, 32])
+def test_sorted_skips_empty_tiles_bit_exact(tile_h):
+    """The sorted path gives entry-less tiles NO grid step
+    (bin_triangles_queue visit_empty=False) and masks their
+    uninitialized output blocks back to the clear values afterwards —
+    a corner object leaving most of a 256x512 frame empty must still
+    bit-match the mask strategy (which visits every tile), and the
+    empty region must carry the exact clear values."""
+    from tpu_renderer.core.types import DEPTH_CLEAR, ObjectConfig, \
+        make_object
+    from tpu_renderer.models.primitives import construct_cube
+    from tpu_renderer.ops.raster_pallas import rasterize_pallas_shaded
+
+    h, w = 256, 512
+    sg, tr_d, li_d = scenes.baseline_scene(1, h, w)
+    _, tr, li = scenes.to_jax_scene(sg, tr_d, li_d)
+    cube = construct_cube()
+    # Push the cube toward the frame's top-left corner: with
+    # screen_center at (w/2, h/2) the object covers only a few tiles.
+    obj = make_object((-0.55, -0.35, 0.0), **cube)
+    cfg = ObjectConfig(phong=True)
+    edges = setup_triangles(obj, tr, li, cfg)
+
+    outs = {}
+    for strat in ("mask", "sorted"):
+        cov, z, col, stats = rasterize_pallas_shaded(
+            edges, tr, li, True, h, w, strategy=strat, tile_h=tile_h
+        )
+        assert int(stats["bins_dropped"]) == 0
+        outs[strat] = (np.asarray(cov), np.asarray(z), np.asarray(col))
+    for a, b in zip(outs["mask"], outs["sorted"]):
+        np.testing.assert_array_equal(a, b)
+    cov, z, col = outs["sorted"]
+    assert cov.any() and not cov.all()
+    # The bottom-right quadrant is far from the corner cube: exact clears.
+    q = np.s_[h // 2:, w // 2:]
+    assert not cov[q].any()
+    assert (z[q] == DEPTH_CLEAR).all()
+    assert (col[q] == 0).all()

@@ -367,6 +367,7 @@ def bin_triangles_queue(
     col0=0,
     bbox=None,
     col_split: int = 1,
+    visit_empty: bool = True,
 ) -> QueueBins:
     """Scalable binning: expand + stable-sort; no relayout.
 
@@ -491,36 +492,6 @@ def bin_triangles_queue(
         (0,), (entry_budget,),
     )
 
-    # Work items: one per record block a tile's (unaligned) entry range
-    # touches, >= 1 per tile so every output tile gets initialized.
-    b_lo = starts[:-1] // blk
-    b_hi = -(-starts[1:] // blk)
-    nblocks_bin = jnp.where(keep_t > 0, b_hi - b_lo, 0)
-    if col_split > 1:
-        # Split mode: one item unit per FRAMEBUFFER tile covers a block
-        # from each of its col_split column bins; the group runs in
-        # lockstep so the item count is the max over the sub-bins.
-        nfb = ntiles // col_split
-        nwi = jnp.maximum(
-            nblocks_bin.reshape(nfb, col_split).max(axis=1), 1
-        )
-        sentinel = nfb
-        # sum(max_s(b_s, 1)) <= sum(blocks per bin) + nfb; each bin adds
-        # <= 1 straddle block beyond its entries/blk.
-        maxw = entry_budget // blk + ntiles + nfb
-    else:
-        nwi = jnp.maximum(nblocks_bin, 1)
-        sentinel = ntiles
-        maxw = entry_budget // blk + ntiles
-    cum_wi = jnp.cumsum(nwi).astype(jnp.int32)  # inclusive
-    total_items = cum_wi[-1]
-    item_start = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), cum_wi]
-    )  # (sentinel + 1,); [sentinel] = total_items = first dummy item
-    g = jnp.arange(maxw, dtype=jnp.int32)
-    tile_of_g = jnp.searchsorted(cum_wi, g, side="right").astype(jnp.int32)
-    wi_tile = jnp.where(g < total_items, tile_of_g, sentinel)
-
     # Large-triangle side list (compacted, submission order).
     pos = jnp.cumsum(large.astype(jnp.int32)) - 1
     n_large = jnp.sum(large.astype(jnp.int32))
@@ -530,6 +501,45 @@ def bin_triangles_queue(
     large_ids = large_ids.at[scatter_pos].set(
         jnp.arange(T, dtype=jnp.int32), mode="drop"
     )[:large_capacity]
+
+    # Work items: one per record block a tile's (unaligned) entry range
+    # touches. With visit_empty, >= 1 per tile so every output tile gets
+    # initialized; without it, entry-less tiles get NO grid step (the
+    # caller masks their uninitialized output blocks back to the clear
+    # values — bit-identical, minus one ~1 us DMA-latency-bound step per
+    # empty tile, which dominated sparse scenes at 1080p). The skip
+    # disables itself when the large side list is non-empty: the
+    # in-kernel large fold runs at each tile's LAST item, and a large
+    # triangle can cover tiles that have no small entries.
+    b_lo = starts[:-1] // blk
+    b_hi = -(-starts[1:] // blk)
+    nblocks_bin = jnp.where(keep_t > 0, b_hi - b_lo, 0)
+    if col_split > 1:
+        # Split mode: one item unit per FRAMEBUFFER tile covers a block
+        # from each of its col_split column bins; the group runs in
+        # lockstep so the item count is the max over the sub-bins.
+        nfb = ntiles // col_split
+        nwi0 = nblocks_bin.reshape(nfb, col_split).max(axis=1)
+        sentinel = nfb
+        # sum(max_s(b_s, 1)) <= sum(blocks per bin) + nfb; each bin adds
+        # <= 1 straddle block beyond its entries/blk.
+        maxw = entry_budget // blk + ntiles + nfb
+    else:
+        nwi0 = nblocks_bin
+        sentinel = ntiles
+        maxw = entry_budget // blk + ntiles
+    if visit_empty:
+        nwi = jnp.maximum(nwi0, 1)
+    else:
+        nwi = jnp.where(n_large > 0, jnp.maximum(nwi0, 1), nwi0)
+    cum_wi = jnp.cumsum(nwi).astype(jnp.int32)  # inclusive
+    total_items = cum_wi[-1]
+    item_start = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), cum_wi]
+    )  # (sentinel + 1,); [sentinel] = total_items = first dummy item
+    g = jnp.arange(maxw, dtype=jnp.int32)
+    tile_of_g = jnp.searchsorted(cum_wi, g, side="right").astype(jnp.int32)
+    wi_tile = jnp.where(g < total_items, tile_of_g, sentinel)
 
     counts_out = jnp.concatenate(
         [keep_t, jnp.zeros((1,), jnp.int32)]

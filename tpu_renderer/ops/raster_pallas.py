@@ -2033,6 +2033,7 @@ def rasterize_scene_shaded(
             expansion=expansion, budget_factor=budget_factor,
             frame_height=frame_height, frame_width=frame_width,
             row0=row0, col0=col0, bbox=bbox, col_split=split,
+            visit_empty=False,
         )
         rec_stream, n_blocks = _queue_stream(edges, qbins, recs, blk)
         maxw = qbins.wi_tile.shape[0]
@@ -2122,9 +2123,23 @@ def rasterize_scene_shaded(
             qbins.wi_tile, qbins.starts, qbins.counts, item_ext,
             lcounts_ext, lmeta, origin, params, *operands,
         )
-        z = z[:height, :width]
-        gid = gid[:height, :width]
-        color = color[:height, :width]
+        # Entry-less tiles got NO grid step (visit_empty=False above), so
+        # their output blocks are uninitialized memory; mask them back to
+        # the clear values the every-tile kernel used to write. A tile is
+        # covered iff any of its (col_split) bins kept entries; a
+        # non-empty large side list re-enables every-tile visits inside
+        # bin_triangles_queue, so the mask must go all-true with it.
+        nbins = ntiles * split
+        tile_cov = (
+            qbins.counts[:nbins].reshape(ntiles, split).sum(axis=1) > 0
+        ) | (qbins.n_large > 0)
+        covm = jnp.broadcast_to(
+            tile_cov.reshape(tiles_y, 1, tiles_x, 1),
+            (tiles_y, tile_h, tiles_x, TILE_W),
+        ).reshape(tiles_y * tile_h, tiles_x * TILE_W)[:height, :width]
+        z = jnp.where(covm, z[:height, :width], DEPTH_CLEAR)
+        gid = jnp.where(covm, gid[:height, :width], jnp.int32(-1))
+        color = jnp.where(covm, color[:height, :width], jnp.uint32(0))
         stats = {"bins_dropped": qbins.n_dropped}
     else:
         raise ValueError(f"unknown strategy: {strategy}")

@@ -173,7 +173,8 @@ def stage_breakdown(obj, cfg, transform, lights, height: int, width: int,
         q = bin_triangles_queue(None, height, bin_width, tile_h, bin_w,
                                 blk, expansion=exp, budget_factor=bf,
                                 bbox=bbox, frame_height=height,
-                                frame_width=width, col_split=split)
+                                frame_width=width, col_split=split,
+                                visit_empty=False)
         if not use_fused_setup:
             recs = rp.finish_records(recs)
         stream, _ = rp._queue_stream(None, q, recs, blk)
