@@ -43,8 +43,9 @@ def make_fn(obj, cfg):
             spun = rotate_object(obj, rotation_y(a))
             stats = {}
             fb = render_scene(
-                make_framebuffer(H, W), [(spun, cfg)], transform, lights,
-                backend="pallas", stats=stats,
+                None, [(spun, cfg)], transform, lights,
+                backend="pallas", frame_height=H, frame_width=W,
+                stats=stats,
             )
             check = jnp.sum(
                 jnp.where(fb.depth > -3.0e38, fb.depth, 0.0)

@@ -38,8 +38,8 @@ def make_fn(obj, cfg):
             a = angle + carry * jnp.float32(1e-30)
             spun = rotate_object(obj, rotation_y(a))
             fb = render_scene(
-                make_framebuffer(H, W), [(spun, cfg)], transform, lights,
-                backend="pallas",
+                None, [(spun, cfg)], transform, lights,
+                backend="pallas", frame_height=H, frame_width=W,
             )
             check = jnp.sum(
                 jnp.where(fb.depth > -3.0e38, fb.depth, 0.0)

@@ -82,11 +82,13 @@ def measure_tpu_fps(config: int, height: int, width: int,
             a = angle + carry * jnp.float32(1e-30)  # chain frames
             spun = tuple(rotate_object(o, rotation_y(a)) for o in objs)
             fb = render_scene(
-                make_framebuffer(height, width),
+                None,
                 list(zip(spun, cfgs)),
                 transform,
                 lights,
                 backend="pallas",
+                frame_height=height,
+                frame_width=width,
             )
             check = jnp.sum(
                 jnp.where(fb.depth > -3.0e38, fb.depth, 0.0)
@@ -326,10 +328,11 @@ def run_scale():
                 spun = rotate_object(
                     obj, rotation_y(angle + carry * jnp.float32(1e-30))
                 )
-                fb, stats = None, {}
+                stats = {}
                 fb = render_scene(
-                    make_framebuffer(height, width), [(spun, cfg)],
-                    transform, lights, backend="pallas", stats=stats,
+                    None, [(spun, cfg)], transform, lights,
+                    backend="pallas", frame_height=height,
+                    frame_width=width, stats=stats,
                 )
                 check = jnp.sum(
                     jnp.where(fb.depth > -3.0e38, fb.depth, 0.0)

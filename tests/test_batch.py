@@ -156,3 +156,39 @@ def test_cross_object_depth_tie_first_object_wins():
     r = (col[covered] >> 16) & 0xFF
     b = col[covered] & 0xFF
     assert covered.any() and (r >= b).all()
+
+
+@pytest.mark.parametrize("config", [1, 4, 5])
+def test_fresh_framebuffer_path_bit_exact(config):
+    """render_scene(framebuffer=None) must bit-match rendering onto an
+    explicit zero-cleared framebuffer: the fused kernels' outputs carry
+    exactly the clear values on uncovered pixels, so skipping the
+    clear + merge may not change a single bit (single-object, batched
+    multi-object, and the public Renderer's default clear_color=0 path;
+    a non-zero clear_color keeps the merge and must show through where
+    nothing rendered)."""
+    import numpy as np
+
+    from tpu_renderer.core.types import make_framebuffer
+    from tpu_renderer.engine.renderer import Renderer, render_scene
+    from tpu_renderer.models import scenes
+
+    h, w = 96, 128
+    sg, tr_d, li_d = scenes.baseline_scene(config, h, w)
+    scene_j, tr, li = scenes.to_jax_scene(sg, tr_d, li_d)
+    a = render_scene(make_framebuffer(h, w), scene_j, tr, li,
+                     backend="pallas")
+    b = render_scene(None, scene_j, tr, li, backend="pallas",
+                     frame_height=h, frame_width=w)
+    np.testing.assert_array_equal(np.asarray(a.color), np.asarray(b.color))
+    np.testing.assert_array_equal(np.asarray(a.depth), np.asarray(b.depth))
+    fb = Renderer(h, w, backend="pallas").render(scene_j, tr, li)
+    np.testing.assert_array_equal(np.asarray(fb.color), np.asarray(a.color))
+    np.testing.assert_array_equal(np.asarray(fb.depth), np.asarray(a.depth))
+    fb2 = Renderer(h, w, backend="pallas", clear_color=0xFF112233).render(
+        scene_j, tr, li
+    )
+    c2 = np.asarray(fb2.color)
+    cov = np.asarray(a.depth) > np.float32(-3.0e38)
+    assert (c2[~cov] == 0xFF112233).all()
+    np.testing.assert_array_equal(c2[cov], np.asarray(a.color)[cov])

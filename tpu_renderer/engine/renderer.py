@@ -64,8 +64,22 @@ def render_object(
     (frame_height, frame_width) frame with traced origin (row0, col0) —
     this is how shard_map devices render their tile of the mesh-sharded
     frame (SURVEY.md §5.8).
+
+    ``framebuffer=None`` means a FRESH zero-cleared frame of
+    (frame_height, frame_width): the fused kernel's outputs already carry
+    exactly the clear values (packed color 0, DEPTH_CLEAR) on uncovered
+    pixels, so the clear + 3-plane select merge — ~50 MB of pure HBM
+    traffic per 1080p frame — is skipped entirely on that path.
     """
-    height, width = framebuffer.height, framebuffer.width
+    fresh = framebuffer is None
+    if fresh:
+        if frame_height is None or frame_width is None:
+            raise ValueError(
+                "render_object(framebuffer=None) needs frame dims"
+            )
+        height, width = frame_height, frame_width
+    else:
+        height, width = framebuffer.height, framebuffer.width
     if frame_height is None:
         frame_height = height
     if frame_width is None:
@@ -104,11 +118,15 @@ def render_object(
             stats["bins_dropped"] = (
                 stats.get("bins_dropped", 0) + rstats["bins_dropped"]
             )
+        if fresh:
+            return Framebuffer(color=packed, depth=z)
         win = covered & (z > framebuffer.depth)
         return Framebuffer(
             color=jnp.where(win, packed, framebuffer.color),
             depth=jnp.where(win, z, framebuffer.depth),
         )
+    if fresh:
+        framebuffer = make_framebuffer(height, width)
     if backend == "reference":
         edges = setup_triangles(obj, transform, lights, cfg)
         covered, gbuf = rasterize_reference(
@@ -197,7 +215,11 @@ def _render_scene_batched(
         setup_for_raster,
     )
 
-    height, width = framebuffer.height, framebuffer.width
+    fresh = framebuffer is None
+    if fresh:
+        height, width = frame_height, frame_width
+    else:
+        height, width = framebuffer.height, framebuffer.width
     if frame_height is None:
         frame_height = height
     if frame_width is None:
@@ -283,6 +305,8 @@ def _render_scene_batched(
         stats["bins_dropped"] = (
             stats.get("bins_dropped", 0) + rstats["bins_dropped"]
         )
+    if fresh:
+        return Framebuffer(color=packed, depth=z)
     win = covered & (z > framebuffer.depth)
     return Framebuffer(
         color=jnp.where(win, packed, framebuffer.color),
@@ -291,7 +315,7 @@ def _render_scene_batched(
 
 
 def render_scene(
-    framebuffer: Framebuffer,
+    framebuffer: Framebuffer | None,
     scene: Sequence[Tuple[RenderObject, ObjectConfig]],
     transform: ProjectiveTransform,
     lights: LightData,
@@ -307,12 +331,23 @@ def render_scene(
 
     On the pallas backend a scene whose objects are all fused-path-eligible
     renders in ONE kernel launch (_render_scene_batched); otherwise objects
-    draw one at a time (bit-identical output either way — tested)."""
+    draw one at a time (bit-identical output either way — tested).
+
+    ``framebuffer=None`` = a fresh zero-cleared (frame_height, frame_width)
+    frame; the fused paths then return the kernel outputs directly instead
+    of clearing + merging (see render_object). An empty scene yields the
+    clear frame either way."""
+    if framebuffer is None and (
+        frame_height is None or frame_width is None
+    ):
+        raise ValueError("render_scene(framebuffer=None) needs frame dims")
     if backend == "pallas" and len(scene) > 1 and _scene_batchable(scene):
         return _render_scene_batched(
             framebuffer, scene, transform, lights, frame_height,
             frame_width, row0, col0, capacity, stats,
         )
+    if framebuffer is None and not scene:
+        return make_framebuffer(frame_height, frame_width)
     for obj, cfg in scene:
         framebuffer = render_object(
             framebuffer, obj, transform, lights, cfg, backend,
@@ -355,11 +390,20 @@ class Renderer:
         if fn is None:
             @jax.jit
             def fn(objs, transform, lights):
-                fb = make_framebuffer(self.height, self.width, self.clear_color)
+                # clear_color 0 (the default) takes the fresh-frame fast
+                # path: no clear + no merge on fused pallas scenes.
+                fb = (
+                    None if self.clear_color == 0
+                    else make_framebuffer(
+                        self.height, self.width, self.clear_color
+                    )
+                )
                 stats = {}
                 fb = render_scene(
                     fb, list(zip(objs, cfgs)), transform, lights,
-                    self.backend, capacity=self.capacity, stats=stats,
+                    self.backend, frame_height=self.height,
+                    frame_width=self.width, capacity=self.capacity,
+                    stats=stats,
                 )
                 return (fb, stats) if with_stats else fb
 
