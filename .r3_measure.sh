@@ -47,3 +47,7 @@ run ab_budget 2400 python .ab_budget.py
 echo "ALL DONE5 $(date -u +%H:%M:%S)" >> /tmp/r3m/driver.log
 run ab_tileh 2400 python .ab_tileh.py
 echo "ALL DONE6 $(date -u +%H:%M:%S)" >> /tmp/r3m/driver.log
+run ab_freshskip 2400 python .ab_freshskip.py
+echo "ALL DONE7 $(date -u +%H:%M:%S)" >> /tmp/r3m/driver.log
+run probe_gather 2400 python .probe_gather.py
+echo "ALL DONE8 $(date -u +%H:%M:%S)" >> /tmp/r3m/driver.log

@@ -523,3 +523,46 @@ def test_sorted_skips_empty_tiles_bit_exact(tile_h):
     assert not cov[q].any()
     assert (z[q] == DEPTH_CLEAR).all()
     assert (col[q] == 0).all()
+
+
+def test_mask_dead_gather_equivalent():
+    """MASK_DEAD_GATHER points dead (past-prefix) entries' gather indices
+    at record row 0 (an on-chip A/B candidate: duplicate rows may gather
+    cheaper than scattered ones). No kernel step ever reads those rows,
+    so the rendered output must be bit-identical with the flag on or
+    off; the QueueBins themselves must agree on everything except the
+    dead tail of sorted_tri, which must be all zeros under the flag."""
+    from tpu_renderer.ops import binning
+    from tpu_renderer.ops.binning import bin_triangles_queue
+    from tpu_renderer.ops.raster_pallas import rasterize_pallas_shaded
+
+    sg, tr_d, li_d = scenes.baseline_scene(4, H, W)
+    scene_j, tr, li = scenes.to_jax_scene(sg, tr_d, li_d)
+    obj, cfg = scene_j[0]
+    edges = setup_triangles(obj, tr, li, cfg)
+
+    q0 = bin_triangles_queue(edges, H, W, 8, 128, 64)
+    binning.MASK_DEAD_GATHER = True
+    try:
+        q1 = bin_triangles_queue(edges, H, W, 8, 128, 64)
+        cov1, z1, col1, stats1 = rasterize_pallas_shaded(
+            edges, tr, li, False, H, W, strategy="sorted"
+        )
+    finally:
+        binning.MASK_DEAD_GATHER = False
+    cov0, z0, col0, stats0 = rasterize_pallas_shaded(
+        edges, tr, li, False, H, W, strategy="sorted"
+    )
+
+    n_kept = int(np.asarray(q0.starts)[-1])
+    for name, a, b in zip(q0._fields, q0, q1):
+        a, b = np.asarray(a), np.asarray(b)
+        if name == "sorted_tri":
+            np.testing.assert_array_equal(a[:n_kept], b[:n_kept])
+            assert (b[n_kept:] == 0).all()
+            assert n_kept < b.shape[0]  # the flag had a dead tail to mask
+            continue
+        np.testing.assert_array_equal(a, b, err_msg=f"{name} differs")
+    assert int(stats0["bins_dropped"]) == int(stats1["bins_dropped"]) == 0
+    for a, b in ((cov0, cov1), (z0, z1), (col0, col1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -308,6 +308,11 @@ FORCE_PAIR_SORT = False  # test hook: force the two-array stable sort
 # order clip) instead of highest tile ids (sorted-prefix clip) — both
 # counted, never silent.
 COMPACT_ENTRIES = False
+# Point dead (past-prefix) entries' gather indices at record row 0 so the
+# budget-length record gather fetches duplicates instead of scattered rows
+# for the dead tail. Output-bit-identical either way (tested); ONLY a win
+# if duplicate-row gathers are cheaper on the chip (.probe_gather.py).
+MASK_DEAD_GATHER = False
 
 
 class QueueBins(NamedTuple):
@@ -491,6 +496,17 @@ def bin_triangles_queue(
         jnp.pad(sorted_tri, (0, max(0, entry_budget - sorted_tri.shape[0]))),
         (0,), (entry_budget,),
     )
+    if MASK_DEAD_GATHER:
+        # Entries past the kept-real prefix carry arbitrary triangle ids
+        # (sentinel-key low bits) that the record gather still fetches;
+        # no kernel step ever reads those rows (tile ranges end at
+        # starts[ntiles], block tails are masked in-kernel), so pointing
+        # them all at row 0 is output-neutral. Whether duplicate rows
+        # gather cheaper is a hardware question (.probe_gather.py).
+        sorted_tri = jnp.where(
+            jnp.arange(entry_budget, dtype=jnp.int32) < starts[ntiles],
+            sorted_tri, 0,
+        )
 
     # Large-triangle side list (compacted, submission order).
     pos = jnp.cumsum(large.astype(jnp.int32)) - 1

@@ -121,6 +121,11 @@ _BIG = 3.4028235e38
 AUTO_SORTED_THRESHOLD = 512  # auto switches to sorted binning above this
 
 
+# Probe hook: visit every tile (pre-round-3 behavior) instead of
+# skipping entry-less ones; lets the empty-tile-skip win be measured in
+# one process. Bit-identical output either way (tested).
+VISIT_EMPTY_TILES = False
+
 # Probe hook: when set, overrides _queue_expansion's budget factor (the
 # static entry budget sets the length of the per-frame record gather at
 # ~13 ns/row AND the sort size under COMPACT_ENTRIES, so tightening it is
@@ -2033,7 +2038,7 @@ def rasterize_scene_shaded(
             expansion=expansion, budget_factor=budget_factor,
             frame_height=frame_height, frame_width=frame_width,
             row0=row0, col0=col0, bbox=bbox, col_split=split,
-            visit_empty=False,
+            visit_empty=VISIT_EMPTY_TILES,
         )
         rec_stream, n_blocks = _queue_stream(edges, qbins, recs, blk)
         maxw = qbins.wi_tile.shape[0]
