@@ -439,8 +439,14 @@ def bin_triangles_queue(
     compact_drops = jnp.zeros((), jnp.int32)
     if COMPACT_ENTRIES:
         keepm = entry_tile < ntiles
-        pos = jnp.cumsum(keepm.astype(jnp.int32)) - 1
-        n_real = pos[-1] + 1
+        # A triangle's kept slots are a prefix (slot_ok = j < n_tiles), so
+        # entry (t, j)'s compacted position is base[t] + j with base the
+        # exclusive cumsum of per-triangle kept counts — a T-length scan
+        # instead of one over all T*expansion slots.
+        kept_n = jnp.where(small, n_tiles, 0)
+        base = jnp.cumsum(kept_n) - kept_n  # exclusive, (T,)
+        pos = (base[:, None] + j).reshape(-1)
+        n_real = base[-1] + kept_n[-1]
         compact_drops = jnp.maximum(n_real - entry_budget, 0)
         tgt = jnp.where(keepm & (pos < entry_budget), pos, entry_budget)
         entry_tile = jnp.full(
