@@ -46,21 +46,25 @@ def test_wide_sorted_matches_mask_tile8(phong):
     assert outs["mask"][0].any()
 
 
-@pytest.mark.parametrize("split,merge",
-                         [(2, "tree"), (4, "tree"), (8, "tree"),
-                          (8, "repeat"), (16, "repeat")])
-def test_wide_sorted_textured_tile8(split, merge):
+@pytest.mark.parametrize("split,merge,deferred",
+                         [(2, "tree", False), (4, "tree", False),
+                          (8, "tree", False), (8, "repeat", False),
+                          (16, "repeat", False), (1, "tree", True),
+                          (8, "repeat", True)])
+def test_wide_sorted_textured_tile8(split, merge, deferred):
     """Fused MXU texture sampling through the wide path (atlas finalize
-    runs off the spanex scratch's uv planes), across column splits and
-    both sub-bin merge lowerings."""
+    runs off the spanex scratch's uv planes), across column splits, both
+    sub-bin merge lowerings, and the deferred stage-B fold."""
     from tpu_renderer.models.textures import checkerboard as cb
 
     tex = cb(32, 32, 4)
     edges, tr, li, cfg = _edges(1, texture=tex)
     outs = {}
-    orig, orig_m = rp.PACK_SPLIT, rp.SPLIT_MERGE
+    orig, orig_m, orig_d = rp.PACK_SPLIT, rp.SPLIT_MERGE, rp.FOLD_DEFERRED
     try:
-        rp.PACK_SPLIT, rp.SPLIT_MERGE = split, merge
+        rp.PACK_SPLIT, rp.SPLIT_MERGE, rp.FOLD_DEFERRED = (
+            split, merge, deferred,
+        )
         for strat in ("mask", "sorted"):
             cov, z, col, stats = rp.rasterize_pallas_shaded(
                 edges, tr, li, False, H, W, strategy=strat, tile_h=8,
@@ -68,7 +72,9 @@ def test_wide_sorted_textured_tile8(split, merge):
             )
             outs[strat] = (np.asarray(cov), np.asarray(z), np.asarray(col))
     finally:
-        rp.PACK_SPLIT, rp.SPLIT_MERGE = orig, orig_m
+        rp.PACK_SPLIT, rp.SPLIT_MERGE, rp.FOLD_DEFERRED = (
+            orig, orig_m, orig_d,
+        )
     for a, b in zip(outs["mask"], outs["sorted"]):
         np.testing.assert_array_equal(a, b)
     assert outs["mask"][0].any()
@@ -129,30 +135,42 @@ def test_pack_split_variants_bit_exact(phong):
     bit-exact: the sub-bins of a split tile are spatially disjoint by
     construction (stage A clips each entry's span to its bin), so
     winners, ties, and interpolated values may not differ. Split 1 is
-    the control arm of every split A/B probe."""
+    the control arm of every split A/B probe. The deferred stage-B fold
+    (FOLD_DEFERRED) selects the winning slot's span values instead of
+    folding every slot's attribute planes — same winner rule, same
+    evaluation op order, so it must be bit-exact too."""
     edges, tr, li, _ = _edges(4, ObjectConfig(phong=phong))
     outs = {}
-    orig, orig_m = rp.PACK_SPLIT, rp.SPLIT_MERGE
+    orig, orig_m, orig_d = rp.PACK_SPLIT, rp.SPLIT_MERGE, rp.FOLD_DEFERRED
     try:
-        for split, merge in ((2, "tree"), (1, "tree"), (4, "tree"),
-                             (8, "tree"), (16, "tree"), (2, "repeat"),
-                             (8, "repeat"), (16, "repeat")):
-            rp.PACK_SPLIT, rp.SPLIT_MERGE = split, merge
+        for split, merge, deferred in (
+            (2, "tree", False), (1, "tree", False), (4, "tree", False),
+            (8, "tree", False), (16, "tree", False), (2, "repeat", False),
+            (8, "repeat", False), (16, "repeat", False),
+            (1, "tree", True), (2, "tree", True), (8, "repeat", True),
+            (16, "repeat", True),
+        ):
+            rp.PACK_SPLIT, rp.SPLIT_MERGE, rp.FOLD_DEFERRED = (
+                split, merge, deferred,
+            )
             cov, z, col, stats = rp.rasterize_pallas_shaded(
                 edges, tr, li, phong, H, W, strategy="sorted", tile_h=8
             )
             assert int(stats["bins_dropped"]) == 0
-            outs[(split, merge)] = (
+            outs[(split, merge, deferred)] = (
                 np.asarray(cov), np.asarray(z), np.asarray(col)
             )
     finally:
-        rp.PACK_SPLIT, rp.SPLIT_MERGE = orig, orig_m
+        rp.PACK_SPLIT, rp.SPLIT_MERGE, rp.FOLD_DEFERRED = (
+            orig, orig_m, orig_d,
+        )
+    base = outs[2, "tree", False]
     for key in outs:
-        if key == (2, "tree"):
+        if key == (2, "tree", False):
             continue
-        for a, b in zip(outs[2, "tree"], outs[key]):
+        for a, b in zip(base, outs[key]):
             np.testing.assert_array_equal(a, b)
-    assert outs[2, "tree"][0].any()
+    assert base[0].any()
 
 
 def test_tile_height_policy_is_area_relative():

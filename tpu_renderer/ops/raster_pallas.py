@@ -170,26 +170,41 @@ def _queue_expansion(tile_h: int, num_triangles: int):
 # coarse tiles (BENCH round 2's config-2 regression, 0.39x the CPU).
 TILE8_PX_PER_TRI = 256
 
-# Fine-tile grids bin at sub-tile column granularity (128/PACK_SPLIT
-# columns per bin) and the queue kernel folds one entry of each sub-bin
-# per chunk slot ("split packing"; 2 = dual 64-column, 4 = quad
-# 32-column, 8 = octal 16-column) — tiny triangles cover a few pixels,
-# so every (8, 128) fragment op serving PACK_SPLIT entries divides
-# stage-B cost. Module flag (trace-time constant) so A/B probes can
-# compile variants in one process. Valid values: 1 (single full-width
-# bin), 2, 4, 8, 16. Costs that grow with the split: boundary-crossing
-# entries duplicate into both bins (~bbox_w/sub_w extra entries), the
-# per-plane merge cost (see SPLIT_MERGE), and a block's chunk count is
-# the MAX over its sub-bins, so skewed bins waste steps — the default is
-# chosen by hardware A/B (.ab_split.py).
-PACK_SPLIT = 2
+# Fine-tile grids MAY bin at sub-tile column granularity (128/PACK_SPLIT
+# columns per bin) with the queue kernel folding one entry of each
+# sub-bin per chunk slot ("split packing"; 2 = dual 64-column, 4 = quad
+# 32-column, 8 = octal 16-column) — the idea being that every (8, 128)
+# fragment op serving PACK_SPLIT entries divides stage-B cost for tiny
+# triangles. The round-3 hardware A/B (.ab_split.py, measurements/r3/)
+# KILLED it: the tree merge's per-plane selects cost more than the
+# shared fragment ops save at every split — 1M-triangle 1080p Phong
+# measured 82.4 / 90.2 / 112.5 / 149.1 ms at splits 1/2/4/8 (tree), and
+# the 'repeat' merge variants fail Mosaic compilation outright — so the
+# default is 1 (single full-width bin). The machinery stays (bit-exact,
+# tested) for future re-probes. Module flag (trace-time constant) so
+# A/B probes can compile variants in one process.
+PACK_SPLIT = 1
 
 # How the split kernel merges sub-bin quantity planes: 'tree' (lane-select
-# tree; split-1 full-width selects per plane per chunk — the measured-safe
-# default) or 'repeat' (minor-axis stack + lane repeat; one op per plane
-# IF Mosaic lowers jnp.repeat as a lane shuffle). Bit-equal outputs
-# (tested); the default is chosen by hardware A/B (.ab_split.py).
+# tree) or 'repeat' (minor-axis stack + lane repeat; bit-equal in
+# interpret mode but REJECTED by Mosaic on real TPU — MosaicError at
+# compile, .ab_split.py round 3 — so it is a CPU-only curiosity).
 SPLIT_MERGE = "tree"
+
+# Stage-B chunk-fold form in the wide (spanex) kernels: False = direct
+# (evaluate every slot's attribute fragment planes and fold them slot by
+# slot — the measured-safe default), True = deferred (fold only z + the
+# winning SLOT index, then select that slot's (left, inc) span values
+# with one shared slot-select tree and evaluate each attribute ONCE).
+# The winner, its k, and its (left, inc) operands are identical either
+# way, so attribute values are bit-equal (tested); losing pixels carry
+# garbage attributes in the deferred form, but the tile merge only reads
+# attribute planes where best_z won, and best_z = DEPTH_CLEAR never wins.
+# Cuts per-chunk attribute work from 2*nf slot-plane evals + nf*CHUNK_T
+# fold selects to ~2*nf tree selects + nf evals; whether the extra live
+# planes cost more than the saved ops is a hardware question
+# (.ab_fold.py decides the default).
+FOLD_DEFERRED = False
 
 # Per-edge field layout inside the packed record (28 floats per edge;
 # EDGE_STRIDE/GID_LANE/REC_LANES are owned by geometry.vertex, which WRITES
@@ -712,6 +727,53 @@ def _fold_chunk(inspan, zfrag, frags, gids, n_fields, tile_h, tile_w):
     return best_z, best_i, best_a
 
 
+def _fold_chunk_z(inspan, zfrag, gids, tile_h, tile_w):
+    """Depth-only chunk fold: (best_z, best_gid, best_slot) with the exact
+    _fold_chunk winner rule (strict greater z, earlier slot keeps ties).
+    best_slot is 0 where nothing won — harmless, because every consumer
+    gates on best_z (DEPTH_CLEAR never beats an initialized tile)."""
+    best_z = jnp.full((tile_h, tile_w), DEPTH_CLEAR, F32)
+    best_i = jnp.full((tile_h, tile_w), jnp.int32(-1))
+    best_s = jnp.zeros((tile_h, tile_w), jnp.int32)
+    for c in range(CHUNK_T):
+        zc = jnp.where(inspan[c], zfrag[c], DEPTH_CLEAR)
+        win = zc > best_z
+        best_z = jnp.where(win, zc, best_z)
+        best_i = jnp.where(win, gids[c], best_i)
+        best_s = jnp.where(win, jnp.int32(c), best_s)
+    return best_z, best_i, best_s
+
+
+def _slot_masks(best_s, n):
+    """The slot-select tree's internal-node predicates, computed ONCE per
+    chunk and shared by every selected quantity (k + 2 per field)."""
+    masks = {}
+
+    def walk(lo, hi):
+        if hi - lo <= 1:
+            return
+        mid = (lo + hi) // 2
+        masks[(lo, hi)] = best_s < mid
+        walk(lo, mid)
+        walk(mid, hi)
+
+    walk(0, n)
+    return masks
+
+
+def _slot_select(masks, leaves):
+    """Per-pixel select of leaves[best_s] via the shared predicate tree
+    (log2(CHUNK_T) levels, len(leaves)-1 vector selects)."""
+
+    def t(lo, hi):
+        if hi - lo == 1:
+            return leaves[lo]
+        mid = (lo + hi) // 2
+        return jnp.where(masks[(lo, hi)], t(lo, mid), t(mid, hi))
+
+    return t(0, len(leaves))
+
+
 # ---------------------------------------------------------------------------
 # Span-expanded stream (stage A on XLA, stage B in the kernel)
 # ---------------------------------------------------------------------------
@@ -874,12 +936,31 @@ def _chunk_best_spanex(rec, xc, n_fields, tile_h, tile_w):
     inspan = (xc >= m3(mlo)) & (xc <= m3(mhi))  # (C, R, W)
     k = m3(xoff) + (xc - m3(minx))
     zfrag = m3(zl) + k * m3(zinc)
+    _, gid_lane, _ = _spanex_layout(n_fields, tile_h)
+    gids = rec[:, gid_lane][:, None, None].astype(jnp.int32)
+    if FOLD_DEFERRED:
+        best_z, best_i, best_s = _fold_chunk_z(inspan, zfrag, gids,
+                                               tile_h, tile_w)
+        masks = _slot_masks(best_s, CHUNK_T)
+        k_sel = _slot_select(masks, [k[c] for c in range(CHUNK_T)])
+        best_a = []
+        for i in range(n_fields):
+            al = q(SPANEX_QBASE + 2 * i)
+            inc = q(SPANEX_QBASE + 2 * i + 1)
+            al_s = _slot_select(
+                masks, [al[c][:, None] for c in range(CHUNK_T)]
+            )
+            inc_s = _slot_select(
+                masks, [inc[c][:, None] for c in range(CHUNK_T)]
+            )
+            # Same operands and op order as the direct frag eval for the
+            # winning slot -> bit-equal attribute values.
+            best_a.append(al_s + k_sel * inc_s)
+        return best_z, best_i, best_a
     frags = [
         m3(q(SPANEX_QBASE + 2 * i)) + k * m3(q(SPANEX_QBASE + 2 * i + 1))
         for i in range(n_fields)
     ]
-    _, gid_lane, _ = _spanex_layout(n_fields, tile_h)
-    gids = rec[:, gid_lane][:, None, None].astype(jnp.int32)
     return _fold_chunk(inspan, zfrag, frags, gids, n_fields, tile_h,
                        tile_w)
 
@@ -935,10 +1016,6 @@ def _chunk_best_spanex_split(recs, xc, sub_w, n_fields, tile_h, tile_w):
     inspan = (xc >= mlo) & (xc <= mhi)
     k = xoff + (xc - minx)
     zfrag = zl + k * zinc
-    frags = [
-        m3(SPANEX_QBASE + 2 * i) + k * m3(SPANEX_QBASE + 2 * i + 1)
-        for i in range(n_fields)
-    ]
     _, gid_lane, _ = _spanex_layout(n_fields, tile_h)
     if SPLIT_MERGE == "repeat" and split > 1:
         gids = jnp.repeat(
@@ -948,6 +1025,23 @@ def _chunk_best_spanex_split(recs, xc, sub_w, n_fields, tile_h, tile_w):
     else:
         gparts = [r[:, gid_lane][:, None, None] for r in recs]  # (C, 1, 1)
         gids = tree(gparts, 0, sub_w).astype(jnp.int32)  # (C, 1, W)
+    if FOLD_DEFERRED:
+        best_z, best_i, best_s = _fold_chunk_z(inspan, zfrag, gids,
+                                               tile_h, tile_w)
+        masks = _slot_masks(best_s, CHUNK_T)
+        k_sel = _slot_select(masks, [k[c] for c in range(CHUNK_T)])
+        best_a = []
+        for i in range(n_fields):
+            al = m3(SPANEX_QBASE + 2 * i)
+            inc = m3(SPANEX_QBASE + 2 * i + 1)
+            al_s = _slot_select(masks, [al[c] for c in range(CHUNK_T)])
+            inc_s = _slot_select(masks, [inc[c] for c in range(CHUNK_T)])
+            best_a.append(al_s + k_sel * inc_s)
+        return best_z, best_i, best_a
+    frags = [
+        m3(SPANEX_QBASE + 2 * i) + k * m3(SPANEX_QBASE + 2 * i + 1)
+        for i in range(n_fields)
+    ]
     return _fold_chunk(inspan, zfrag, frags, gids, n_fields, tile_h,
                        tile_w)
 
