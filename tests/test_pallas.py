@@ -332,7 +332,7 @@ def test_queue_entry_budget_overflow_counted():
     # and a roomy budget keeps everything
     q2 = bin_triangles_queue(edges, H, W, 8, 128, 64, budget_factor=16)
     assert int(q2.n_dropped) == 0
-    # FLOAT budget factors (the dense-grid default is 1.5) round up to a
+    # FLOAT budget factors (the dense-grid default is 1.2) round up to a
     # whole number of blocks and keep the drop accounting
     q3 = bin_triangles_queue(edges, H, W, 8, 128, 64, budget_factor=1.5)
     assert q3.sorted_tri.shape[0] % 64 == 0

@@ -146,14 +146,20 @@ def _queue_expansion(tile_h: int, num_triangles: int):
     the bbox of a typical triangle spans <= 2 fine tiles, and the entry
     budget — which sets the length of the per-frame record GATHER, the
     single most expensive XLA stage (~35 ns/row of random HBM access) —
-    tightens to 1.5*T: real entries on a closed mesh run ~1.2 per
-    *visible* triangle (~0.6*T after backface culling), so 1.5*T holds a
-    2x-plus margin even for meshes with no culled faces. Overflow is
-    counted in stats['bins_dropped'], never silent."""
+    tightens to 1.2*T: real entries run ~1.2 per *visible* triangle, so
+    1.2*T covers a fully-visible (uncullable) mesh at the edge and
+    closed meshes (~0.6*T visible after backface culling) with 1.6x
+    margin. The round-3 budget A/B (.ab_budget.py, drop-free at every
+    factor) measured factors 1.5/1.25/1.2 at 167.9/161.0/144.9 ms per
+    2M-triangle 1080p Phong frame and 316.1/272.6/271.4 ms at 4M — the
+    old 1.5 default paid ~15% for margin no probed mesh used. Closed
+    meshes can push further (0.8 measured 139.0 / 257.9 ms) via
+    BUDGET_FACTOR_OVERRIDE. Overflow is counted in
+    stats['bins_dropped'], never silent."""
     if tile_h >= 32 and num_triangles <= 16384:
         exp, bf = 32, 4
     elif tile_h <= 8 and num_triangles > 65536:
-        exp, bf = 4, 1.5
+        exp, bf = 4, 1.2
     else:
         exp, bf = 8, 2
     if BUDGET_FACTOR_OVERRIDE is not None:
