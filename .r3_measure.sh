@@ -42,3 +42,7 @@ run stages_250k 1200 python bench.py --stages 250000
 run stages_1m 1500 python bench.py --stages 1000000
 run stages_2m 1800 python bench.py --stages 2000000
 echo "ALL DONE $(date -u +%H:%M:%S)" >> /tmp/r3m/driver.log
+run ab_fold 2400 python .ab_fold.py
+echo "FOLD DONE $(date -u +%H:%M:%S)" >> /tmp/r3m/driver.log
+run ab_setup_packed 2400 python .ab_setup_packed.py
+echo "SETUP_PACKED DONE $(date -u +%H:%M:%S)" >> /tmp/r3m/driver.log

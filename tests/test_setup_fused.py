@@ -136,3 +136,45 @@ def test_fused_setup_no_lights():
     np.testing.assert_array_equal(
         np.asarray(recs_f)[:T], np.asarray(recs_x)[:T]
     )
+
+
+def test_setup_packed_bit_exact():
+    """SETUP_PACKED (sublane-packed (c, 3, 8, blk/8) blocks) must be
+    bit-identical to the flat form: every op is elementwise over the
+    triangle axis, the host-side reshapes are contiguous, and only the
+    record/bbox assembly differs. Covers phong, gouraud, and textured
+    field sets."""
+    import tpu_renderer.ops.setup_pallas as sp
+    from tpu_renderer.core.types import ObjectConfig, make_object
+    from tpu_renderer.models.primitives import construct_sphere_grid
+    from tpu_renderer.models.textures import checkerboard
+
+    mesh = construct_sphere_grid(40, 42)
+    tex = checkerboard(16, 16)
+    _, _, tr, li = obj_for(4)
+    orig = sp.SETUP_PACKED
+    try:
+        for cfg, txt in (
+            (ObjectConfig(phong=True), None),
+            (ObjectConfig(), None),
+            (ObjectConfig(textured=True), tex),
+        ):
+            obj = make_object((0.0, 0.0, 0.0), **mesh, texture=txt)
+            outs = {}
+            for packed in (False, True):
+                sp.SETUP_PACKED = packed
+                recs, bbox = jax.jit(
+                    sp.setup_records_fused, static_argnums=(3, 4, 5, 6, 7)
+                )(obj, tr, li, cfg, 3, H, W, 1024)
+                outs[packed] = (
+                    np.asarray(recs),
+                    [np.asarray(b) for b in bbox],
+                )
+            a, b = outs[False], outs[True]
+            np.testing.assert_array_equal(
+                a[0].view(np.uint32), b[0].view(np.uint32)
+            )
+            for x, y in zip(a[1], b[1]):
+                np.testing.assert_array_equal(x, y)
+    finally:
+        sp.SETUP_PACKED = orig

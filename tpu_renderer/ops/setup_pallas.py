@@ -49,6 +49,19 @@ SETUP_BLK = 1024  # triangles per grid step
 # whole block.
 FUSED_SETUP_MIN = 4096
 
+# Sublane packing: run the field math on (channels, 3, 8, blk/8) blocks
+# instead of (channels, 3, blk). The flat form's (3, blk) vectors occupy
+# 3 of 8 sublanes in every vreg (37.5% utilization on the ~200-op field
+# chain); the packed form fills all 8. The relayout is FREE on both
+# ends: the host-side (c, 3, Tp) -> (c, 3, Tp/L, L) reshape is
+# contiguous, 4D BlockSpecs deliver (c, 3, 8, L) blocks directly, and
+# every op in the kernel is elementwise over the triangle axis, so the
+# math is bit-identical — only the record/bbox assembly at the end
+# differs (8 (128, L) transposes instead of 1 (128, blk)). Requires
+# blk >= 1024 so L = blk/8 keeps full 128-lane rows. Module flag for
+# one-process hardware A/B (.ab_setup_packed.py decides the default).
+SETUP_PACKED = False
+
 
 @jax.tree_util.register_pytree_node_class
 class SetupOut:
@@ -145,13 +158,16 @@ def setup_params(
 
 def _setup_kernel(params, verts_ref, cols_ref, nrms_ref, uvs_ref,
                   recs_ref, bbox_ref, *, n_lights, phong, textured, gid0,
-                  frame_height, frame_width, blk):
+                  frame_height, frame_width, blk, packed=False):
     """One SETUP_BLK-triangle block: full edge setup + record/bbox write.
 
     The math mirrors geometry.vertex._setup_fields line-for-line with the
     color/normal channel axis unrolled into Python loops (same per-element
     op order — any change THERE must be mirrored HERE and in the NumPy
-    golden)."""
+    golden). ``packed`` (SETUP_PACKED): the triangle axis arrives
+    pre-split as (8, blk/8) — every op below is elementwise over it, so
+    the math is untouched and bit-identical; only the final record/bbox
+    assembly branches."""
     b = pl.program_id(0)
     dat, fl, m2p = params[0], params[1], params[2]
     cx, cy = params[3], params[4]
@@ -290,15 +306,33 @@ def _setup_kernel(params, verts_ref, cols_ref, nrms_ref, uvs_ref,
 
     # Assemble (REC_LANES, B) in edge-major lane order e * EDGE_STRIDE + f,
     # then transpose to the row-major block (finish_records layout).
-    stacked = jnp.stack(fields, axis=0)  # (28, 3, B)
-    r84 = jnp.transpose(stacked, (1, 0, 2)).reshape(3 * EDGE_STRIDE, blk)
-    gid_row = (
-        jax.lax.broadcasted_iota(jnp.int32, (1, blk), 1)
-        + (b * blk + gid0)
-    ).astype(F32)
-    pad = jnp.zeros((REC_LANES - GID_LANE - 1, blk), F32)
-    full = jnp.concatenate([r84, gid_row, pad], axis=0)  # (128, B)
-    recs_ref[:] = jnp.transpose(full)
+    stacked = jnp.stack(fields, axis=0)  # (28, 3, B) / (28, 3, 8, L)
+    if packed:
+        sub, L = 8, blk // 8
+        r84 = jnp.transpose(stacked, (1, 0, 2, 3)).reshape(
+            3 * EDGE_STRIDE, sub, L
+        )
+        # Triangle t (block-local) sits at (sublane t // L, lane t % L).
+        gid_row = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, sub, L), 1) * L
+            + jax.lax.broadcasted_iota(jnp.int32, (1, sub, L), 2)
+            + (b * blk + gid0)
+        ).astype(F32)
+        pad = jnp.zeros((REC_LANES - GID_LANE - 1, sub, L), F32)
+        full = jnp.concatenate([r84, gid_row, pad], axis=0)  # (128, 8, L)
+        for s in range(sub):
+            recs_ref[s * L:(s + 1) * L, :] = jnp.transpose(full[:, s, :])
+    else:
+        r84 = jnp.transpose(stacked, (1, 0, 2)).reshape(
+            3 * EDGE_STRIDE, blk
+        )
+        gid_row = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, blk), 1)
+            + (b * blk + gid0)
+        ).astype(F32)
+        pad = jnp.zeros((REC_LANES - GID_LANE - 1, blk), F32)
+        full = jnp.concatenate([r84, gid_row, pad], axis=0)  # (128, B)
+        recs_ref[:] = jnp.transpose(full)
 
     # Binning bbox (ops.binning._bbox_core — identical op order to
     # triangle_bbox_rows' use of it).
@@ -310,9 +344,12 @@ def _setup_kernel(params, verts_ref, cols_ref, nrms_ref, uvs_ref,
         [row(xg, e) for e in range(3)],
         frame_height, frame_width,
     )
+    zero_rows = (
+        jnp.zeros((3, 8, blk // 8), F32) if packed
+        else jnp.zeros((3, blk), F32)
+    )
     bbox_ref[:] = jnp.concatenate(
-        [tri_valid.astype(F32), ylo, yhi, xlo, xhi,
-         jnp.zeros((3, blk), F32)], axis=0,
+        [tri_valid.astype(F32), ylo, yhi, xlo, xhi, zero_rows], axis=0,
     )
 
 
@@ -338,15 +375,38 @@ def setup_records_fused(
     gid0 = int(gid0)  # static: baked into the kernel's gid iota
     T = obj.num_triangles
     tp = -(-max(T, 1) // blk) * blk
+    packed = SETUP_PACKED and blk >= 1024
+    L = blk // 8
 
-    def padt(a):
-        return jnp.pad(a, ((0, 0), (0, 0), (0, tp - T)))
+    if packed:
+        # (c, 3, Tp) -> (c, 3, Tp/L, L) is a contiguous (free) reshape;
+        # the 4D BlockSpec then delivers (c, 3, 8, L) blocks whose
+        # (sublane, lane) pair (s, l) is block-local triangle s * L + l —
+        # no in-kernel relayout anywhere.
+        def padt(a):
+            a = jnp.pad(a, ((0, 0), (0, 0), (0, tp - T)))
+            return a.reshape(a.shape[0], 3, tp // L, L)
+
+        def in_spec(c):
+            return pl.BlockSpec((c, 3, 8, L), lambda b: (0, 0, b, 0))
+
+        bbox_spec = pl.BlockSpec((8, 8, L), lambda b: (0, b, 0))
+        bbox_shape = jax.ShapeDtypeStruct((8, tp // L, L), F32)
+    else:
+        def padt(a):
+            return jnp.pad(a, ((0, 0), (0, 0), (0, tp - T)))
+
+        def in_spec(c):
+            return pl.BlockSpec((c, 3, blk), lambda b: (0, 0, b))
+
+        bbox_spec = pl.BlockSpec((8, blk), lambda b: (0, b))
+        bbox_shape = jax.ShapeDtypeStruct((8, tp), F32)
 
     params = setup_params(obj.p, transform, lights)
     kernel = functools.partial(
         _setup_kernel, n_lights=lights.count, phong=cfg.phong,
         textured=cfg.textured, gid0=gid0, frame_height=frame_height,
-        frame_width=frame_width, blk=blk,
+        frame_width=frame_width, blk=blk, packed=packed,
     )
     recs, bbox = pl.pallas_call(
         kernel,
@@ -354,22 +414,21 @@ def setup_records_fused(
         grid=(tp // blk,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # params
-            pl.BlockSpec((3, 3, blk), lambda b: (0, 0, b)),
-            pl.BlockSpec((4, 3, blk), lambda b: (0, 0, b)),
-            pl.BlockSpec((3, 3, blk), lambda b: (0, 0, b)),
-            pl.BlockSpec((2, 3, blk), lambda b: (0, 0, b)),
+            in_spec(3), in_spec(4), in_spec(3), in_spec(2),
         ],
         out_specs=[
             pl.BlockSpec((blk, REC_LANES), lambda b: (b, 0)),
-            pl.BlockSpec((8, blk), lambda b: (0, b)),
+            bbox_spec,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((tp, REC_LANES), F32),
-            jax.ShapeDtypeStruct((8, tp), F32),
+            bbox_shape,
         ],
     )(
         params, padt(obj.vertices), padt(obj.colors), padt(obj.normals),
         padt(obj.uvs),
     )
+    if packed:
+        bbox = bbox.reshape(8, tp)  # contiguous merge, free
     bbox5 = (bbox[0] > F32(0.5), bbox[1], bbox[2], bbox[3], bbox[4])
     return recs, bbox5
