@@ -179,9 +179,9 @@ def test_tile_height_policy_is_area_relative():
     32-row tiles. The policy input is px/triangle, not triangle count."""
     # Config-2 shape: 5.4k triangles at 512^2 -> fine tiles.
     assert rp._pick_tile_h(5400, 512, 512) == 8
-    # Same mesh at 1080p is ~384 px/triangle -> coarse tiles.
-    assert rp._pick_tile_h(5400, 1080, 1920) == 32
+    # Same mesh at 1080p is ~384 px/triangle -> coarse (16-row) tiles.
+    assert rp._pick_tile_h(5400, 1080, 1920) == 16
     # Config-4 shape: 2.2k triangles at 1080p stays coarse.
-    assert rp._pick_tile_h(2208, 1080, 1920) == 32
+    assert rp._pick_tile_h(2208, 1080, 1920) == 16
     # Dense 1080p scenes stay fine.
     assert rp._pick_tile_h(40000, 1080, 1920) == 8

@@ -156,7 +156,7 @@ def _queue_expansion(tile_h: int, num_triangles: int):
     meshes can push further (0.8 measured 139.0 / 257.9 ms) via
     BUDGET_FACTOR_OVERRIDE. Overflow is counted in
     stats['bins_dropped'], never silent."""
-    if tile_h >= 32 and num_triangles <= 16384:
+    if tile_h >= 16 and num_triangles <= 16384:
         exp, bf = 32, 4
     elif tile_h <= 8 and num_triangles > 65536:
         exp, bf = 4, 1.2
@@ -242,8 +242,16 @@ _MASK_TOTAL_HBM_CAP = 512 * 1024 * 1024
 
 def _pick_tile_h(num_triangles: int, height: int = 1080,
                  width: int = 1920) -> int:
+    """8-row tiles (wide kernel) for dense scenes, 16-row for sparse.
+
+    Sparse default was 32 through round 2; the round-3 tile-height A/B
+    (.ab_tileh.py) measured 16/32/64-row tiles at 1.90/2.03/2.24 ms on
+    config 4 (2.2k tris, 1080p Phong) and 9.87/15.43/24.70 ms on a
+    40k-tri narrow-path sphere — halving the fragment rows beats the
+    doubled grid steps at every probed point (bit-identical outputs).
+    """
     return (
-        8 if num_triangles * TILE8_PX_PER_TRI > height * width else 32
+        8 if num_triangles * TILE8_PX_PER_TRI > height * width else 16
     )
 
 
