@@ -207,9 +207,11 @@ SPLIT_MERGE = "tree"
 # garbage attributes in the deferred form, but the tile merge only reads
 # attribute planes where best_z won, and best_z = DEPTH_CLEAR never wins.
 # Cuts per-chunk attribute work from 2*nf slot-plane evals + nf*CHUNK_T
-# fold selects to ~2*nf tree selects + nf evals; whether the extra live
-# planes cost more than the saved ops is a hardware question
-# (.ab_fold.py decides the default).
+# fold selects to ~2*nf tree selects + nf evals. The round-3 hardware
+# A/B (.ab_fold.py) measured a WASH with a slight consistent loss
+# (122.97 vs 122.65 ms at 2M triangles, 256.8 vs 256.4 ms at 4M, split
+# 1): the slot-select tree costs what the per-slot fold saves on this
+# VPU. Default stays False; the variant stays tested for future chips.
 FOLD_DEFERRED = False
 
 # Per-edge field layout inside the packed record (28 floats per edge;

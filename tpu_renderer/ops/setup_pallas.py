@@ -58,8 +58,13 @@ FUSED_SETUP_MIN = 4096
 # every op in the kernel is elementwise over the triangle axis, so the
 # math is bit-identical — only the record/bbox assembly at the end
 # differs (8 (128, L) transposes instead of 1 (128, blk)). Requires
-# blk >= 1024 so L = blk/8 keeps full 128-lane rows. Module flag for
-# one-process hardware A/B (.ab_setup_packed.py decides the default).
+# blk >= 1024 so L = blk/8 keeps full 128-lane rows. The round-3
+# hardware A/B (.ab_setup_packed.py) measured the packed form slightly
+# SLOWER (setup-only 10.98 vs 10.70 ms at 1M triangles, 22.46 vs
+# 21.63 ms at 2M; end-to-end a wash at 124.2 vs 124.0 ms) — Mosaic
+# evidently already packs the flat (3, blk) layout well, and the 4D
+# indexing + extra transposes eat the theoretical vreg win — so the
+# default stays False; the variant stays tested for future toolchains.
 SETUP_PACKED = False
 
 
