@@ -67,7 +67,12 @@ for T in SIZES:
             (carry.astype(jnp.int32) & 127) % jnp.int32(x.shape[0])
         )
         g = x[i]
-        return carry + g[0, 0] + g[-1, -1] + jnp.float32(1e-9)
+        # consume EVERY gathered lane: the first version of this probe
+        # returned g[0,0] + g[-1,-1] and XLA narrowed the gather to TWO
+        # rows (0.01 ns/row "measured" — physically impossible). The
+        # full-sum consumption adds one budget x 128 reduce, identical
+        # across arms.
+        return carry + jnp.sum(g) * jnp.float32(1e-20) + jnp.float32(1e-9)
 
     res = {"T": T, "budget": budget}
     for name, idx in (("rand", base), ("dead0", dead),

@@ -31,3 +31,9 @@ run headline 1200 python bench.py
 mkdir -p /root/repo/measurements/r3
 cp -f /tmp/r3f/*.log /root/repo/measurements/r3/ 2>/dev/null
 echo "FINAL DONE $(date -u +%H:%M:%S)" >> /tmp/r3f/driver.log
+run pytest2 3600 python -m pytest tests/ -q --durations=25
+cp -f /tmp/r3f/*.log /root/repo/measurements/r3/ 2>/dev/null
+echo "PYTEST2 DONE $(date -u +%H:%M:%S)" >> /tmp/r3f/driver.log
+run probe_gather2 1200 python .probe_gather.py
+cp -f /tmp/r3f/*.log /root/repo/measurements/r3/ 2>/dev/null
+echo "GATHER2 DONE $(date -u +%H:%M:%S)" >> /tmp/r3f/driver.log
