@@ -39,11 +39,13 @@ def timeit(fn, *args, reps=5, inner=4):
             return out, 0
         return jax.lax.scan(body, jnp.float32(0.0), None, length=inner)[0]
 
-    _ = run(*args).block_until_ready()
+    # float() fetch, NOT block_until_ready: the tunneled runtime's
+    # block_until_ready can return before execution (CLAUDE.md).
+    _ = float(run(*args))
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        _ = run(*args).block_until_ready()
+        _ = float(run(*args))
         ts.append((time.perf_counter() - t0) / inner * 1e3)
     return round(sorted(ts)[len(ts) // 2], 2)
 
@@ -61,10 +63,12 @@ for T in SIZES:
     srt = jnp.sort(base)
 
     def gather(x, idx, carry):
-        # vary the first index per iteration so (program, args) caching
-        # and loop-invariant hoisting can't fake the number
-        i = idx.at[0].set(
-            (carry.astype(jnp.int32) & 127) % jnp.int32(x.shape[0])
+        # vary EVERY index per iteration (adding the carry's low bit) so
+        # loop-invariant code motion can't hoist any part of the gather
+        # out of the scan; the +0/+1 shift preserves each arm's index
+        # distribution (dup-heavy stays dup-heavy, sorted stays sorted)
+        i = jnp.minimum(
+            idx + (carry.astype(jnp.int32) & 1), jnp.int32(x.shape[0] - 1)
         )
         g = x[i]
         # consume EVERY gathered lane: the first version of this probe

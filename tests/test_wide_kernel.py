@@ -48,7 +48,6 @@ def test_wide_sorted_matches_mask_tile8(phong):
 
 @pytest.mark.parametrize("split,merge,deferred",
                          [(2, "tree", False), (4, "tree", False),
-                          (8, "tree", False), (8, "repeat", False),
                           (16, "repeat", False), (1, "tree", True),
                           (8, "repeat", True)])
 def test_wide_sorted_textured_tile8(split, merge, deferred):
@@ -143,12 +142,13 @@ def test_pack_split_variants_bit_exact(phong):
     outs = {}
     orig, orig_m, orig_d = rp.PACK_SPLIT, rp.SPLIT_MERGE, rp.FOLD_DEFERRED
     try:
+        # One arm per equivalence class (suite-time budget): splits
+        # 1/2/4/16 under tree, 8 under repeat, deferred at split 1 and
+        # at the most complex combination (16, repeat).
         for split, merge, deferred in (
             (2, "tree", False), (1, "tree", False), (4, "tree", False),
-            (8, "tree", False), (16, "tree", False), (2, "repeat", False),
-            (8, "repeat", False), (16, "repeat", False),
-            (1, "tree", True), (2, "tree", True), (8, "repeat", True),
-            (16, "repeat", True),
+            (16, "tree", False), (8, "repeat", False),
+            (1, "tree", True), (16, "repeat", True),
         ):
             rp.PACK_SPLIT, rp.SPLIT_MERGE, rp.FOLD_DEFERRED = (
                 split, merge, deferred,
