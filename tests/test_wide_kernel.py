@@ -173,6 +173,90 @@ def test_pack_split_variants_bit_exact(phong):
     assert base[0].any()
 
 
+@pytest.mark.parametrize("phong", [True, False])
+def test_pack_rows_bit_exact(phong):
+    """PACK_ROWS=2 (row packing: entries binned to 4-row strips, two
+    entries per chunk slot on disjoint sublane halves) must be bit-exact
+    vs the unpacked sorted fold AND the mask strategy: the strips are
+    disjoint ROW sets, each strip's sub-stream is gid-sorted, and the
+    per-entry math is the single-block stage A verbatim on that entry's
+    sublanes."""
+    edges, tr, li, _ = _edges(4, ObjectConfig(phong=phong))
+    outs = {}
+    orig_r, orig_g = rp.PACK_ROWS, rp.PACK_ROWS_MAX_PX_PER_TRI
+    try:
+        for rows in (1, 2):
+            rp.PACK_ROWS = rows
+            rp.PACK_ROWS_MAX_PX_PER_TRI = 10 ** 9  # force the gate open
+            cov, z, col, stats = rp.rasterize_pallas_shaded(
+                edges, tr, li, phong, H, W, strategy="sorted", tile_h=8
+            )
+            assert int(stats["bins_dropped"]) == 0
+            outs[rows] = (np.asarray(cov), np.asarray(z), np.asarray(col))
+        rp.PACK_ROWS = 1
+        cov, z, col, _ = rp.rasterize_pallas_shaded(
+            edges, tr, li, phong, H, W, strategy="mask", tile_h=8
+        )
+        outs["mask"] = (np.asarray(cov), np.asarray(z), np.asarray(col))
+    finally:
+        rp.PACK_ROWS, rp.PACK_ROWS_MAX_PX_PER_TRI = orig_r, orig_g
+    for key in (2, "mask"):
+        for a, b in zip(outs[1], outs[key]):
+            np.testing.assert_array_equal(a, b)
+    assert outs[1][0].any()
+
+
+def test_pack_rows_textured_odd_height_large_sidelist():
+    """Row packing through the fused-texture path at a frame height that
+    is not a tile multiple (the strip grid pads to row_split * fb tiles),
+    with a giant quad forced onto the large side list (spans far more
+    4-row strips than the entry expansion) and empty tiles present."""
+    from tpu_renderer.core.types import make_object
+    from tpu_renderer.geometry.vertex import concat_edge_tables
+    from tpu_renderer.models.primitives import construct_quad
+    from tpu_renderer.models.textures import checkerboard as cb
+    from tpu_renderer.ops.binning import bin_triangles_queue
+
+    tex = cb(32, 32, 4)
+    edges, tr, li, cfg = _edges(1, texture=tex)
+    # Giant textured quad covering the whole frame: two triangles whose
+    # strip-bin count (ceil(92/4) strips) far exceeds the expansion.
+    quad = construct_quad(16.0, color=(0.3, 0.9, 0.4, 1.0))
+    quad["vertices"] = quad["vertices"] + np.float32([0.0, 0.0, -0.5])
+    qobj = make_object(
+        (0.0, 0.0, 0.0), quad["vertices"], quad["colors"],
+        quad["normals"], quad["uvs"], texture=np.asarray(tex),
+    )
+    qedges = setup_triangles(qobj, tr, li, cfg)
+    both = concat_edge_tables([qedges, edges])
+
+    Hodd = 92
+    # Positively assert the quad overflows the strip expansion into the
+    # large side list under row_split binning.
+    exp, bf = rp._queue_expansion(8, both.num_triangles)
+    q = bin_triangles_queue(both, Hodd, W, 8, 128, 128, expansion=exp,
+                            budget_factor=bf, row_split=2)
+    assert int(q.n_large) >= 2
+    assert int(q.n_dropped) == 0
+    outs = {}
+    orig_r, orig_g = rp.PACK_ROWS, rp.PACK_ROWS_MAX_PX_PER_TRI
+    try:
+        for rows in (1, 2):
+            rp.PACK_ROWS = rows
+            rp.PACK_ROWS_MAX_PX_PER_TRI = 10 ** 9
+            cov, z, col, stats = rp.rasterize_pallas_shaded(
+                both, tr, li, False, Hodd, W, strategy="sorted",
+                tile_h=8, texture=tex,
+            )
+            assert int(stats["bins_dropped"]) == 0
+            outs[rows] = (np.asarray(cov), np.asarray(z), np.asarray(col))
+    finally:
+        rp.PACK_ROWS, rp.PACK_ROWS_MAX_PX_PER_TRI = orig_r, orig_g
+    for a, b in zip(outs[1], outs[2]):
+        np.testing.assert_array_equal(a, b)
+    assert outs[1][0].any()
+
+
 def test_tile_height_policy_is_area_relative():
     """Round 2's config-2 regression: the fixed 8192-triangle cut kept a
     5.4k-triangle 512^2 scene (48 px/triangle of tiny fragments) on

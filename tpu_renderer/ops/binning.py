@@ -372,6 +372,7 @@ def bin_triangles_queue(
     col0=0,
     bbox=None,
     col_split: int = 1,
+    row_split: int = 1,
     visit_empty: bool = True,
 ) -> QueueBins:
     """Scalable binning: expand + stable-sort; no relayout.
@@ -390,12 +391,23 @@ def bin_triangles_queue(
     item_start/wi_tile are at FRAMEBUFFER-tile granularity with
     nwi = max(max_s blocks_s, 1) items per tile, so one grid step
     streams one record block from EACH sub-bin into a shared fold.
+
+    ``row_split``: row packing (PACK_ROWS) — bins are
+    (tile_h/row_split)-row strips of the output tile, numbered
+    row_split*tile + strip so each framebuffer tile's sub-bins are
+    adjacent; work-item grouping is identical to col_split. Exclusive
+    with col_split.
     """
+    assert col_split == 1 or row_split == 1, "col/row split are exclusive"
     if frame_height is None:
         frame_height = height
     if frame_width is None:
         frame_width = width
-    tiles_y = -(-height // tile_h)
+    strip_h = tile_h // row_split
+    # Bin rows count in strips, forced to a multiple of row_split so the
+    # sub-bins of the last framebuffer tile row exist (entry-less strips
+    # past the frame are harmless).
+    tiles_y = -(-height // tile_h) * row_split
     tiles_x = -(-width // tile_w)
     ntiles = tiles_y * tiles_x
 
@@ -408,8 +420,8 @@ def bin_triangles_queue(
     xlo = xlo - jnp.asarray(col0, F32)
     xhi = xhi - jnp.asarray(col0, F32)
 
-    ty_lo = jnp.clip(jnp.floor(ylo / F32(tile_h)).astype(jnp.int32), 0, tiles_y)
-    ty_hi = jnp.clip(jnp.ceil(yhi / F32(tile_h)).astype(jnp.int32), 0, tiles_y)
+    ty_lo = jnp.clip(jnp.floor(ylo / F32(strip_h)).astype(jnp.int32), 0, tiles_y)
+    ty_hi = jnp.clip(jnp.ceil(yhi / F32(strip_h)).astype(jnp.int32), 0, tiles_y)
     tx_lo = jnp.clip(jnp.floor(xlo / F32(tile_w)).astype(jnp.int32), 0, tiles_x)
     tx_hi = jnp.clip(
         jnp.floor(xhi / F32(tile_w)).astype(jnp.int32) + 1, 0, tiles_x
@@ -424,7 +436,15 @@ def bin_triangles_queue(
     # Expansion slots: slot j covers tile (ty_lo + j // wx, tx_lo + j % wx).
     j = jnp.arange(expansion, dtype=jnp.int32)[None, :]
     wx_safe = jnp.maximum(wx, 1)[:, None]
-    tile = (ty_lo[:, None] + j // wx_safe) * tiles_x + (tx_lo[:, None] + j % wx_safe)
+    ty = ty_lo[:, None] + j // wx_safe
+    tx = tx_lo[:, None] + j % wx_safe
+    if row_split > 1:
+        # Interleaved-strip numbering: a framebuffer tile's row_split
+        # strips are adjacent bin indices (the split kernel indexes
+        # starts/counts at row_split*tile + strip).
+        tile = ((ty // row_split) * tiles_x + tx) * row_split + ty % row_split
+    else:
+        tile = ty * tiles_x + tx
     slot_ok = small[:, None] & (j < n_tiles[:, None])
     entry_tile = jnp.where(slot_ok, tile, ntiles).reshape(-1)  # sentinel last
     entry_tri = jnp.broadcast_to(
@@ -536,12 +556,14 @@ def bin_triangles_queue(
     b_lo = starts[:-1] // blk
     b_hi = -(-starts[1:] // blk)
     nblocks_bin = jnp.where(keep_t > 0, b_hi - b_lo, 0)
-    if col_split > 1:
+    group = col_split * row_split
+    if group > 1:
         # Split mode: one item unit per FRAMEBUFFER tile covers a block
-        # from each of its col_split column bins; the group runs in
-        # lockstep so the item count is the max over the sub-bins.
-        nfb = ntiles // col_split
-        nwi0 = nblocks_bin.reshape(nfb, col_split).max(axis=1)
+        # from each of its ``group`` sub-bins (column bins or row
+        # strips); the group runs in lockstep so the item count is the
+        # max over the sub-bins.
+        nfb = ntiles // group
+        nwi0 = nblocks_bin.reshape(nfb, group).max(axis=1)
         sentinel = nfb
         # sum(max_s(b_s, 1)) <= sum(blocks per bin) + nfb; each bin adds
         # <= 1 straddle block beyond its entries/blk.
@@ -566,12 +588,12 @@ def bin_triangles_queue(
     counts_out = jnp.concatenate(
         [keep_t, jnp.zeros((1,), jnp.int32)]
     ).astype(jnp.int32)
-    if col_split > 1:
-        # The split kernel indexes bins at col_split*tile + s; the
+    if group > 1:
+        # The split kernel indexes bins at group*tile + s; the
         # sentinel tile's sub-bins land at indices up to
-        # ntiles + col_split - 1, so pad col_split - 1 extra empty-bin
+        # ntiles + group - 1, so pad group - 1 extra empty-bin
         # entries.
-        pad = col_split - 1
+        pad = group - 1
         starts = jnp.concatenate([starts] + [starts[-1:]] * pad)
         counts_out = jnp.concatenate(
             [counts_out, jnp.zeros((pad,), jnp.int32)]

@@ -191,6 +191,28 @@ TILE8_PX_PER_TRI = 256
 # A/B probes can compile variants in one process.
 PACK_SPLIT = 1
 
+# Row packing: fine-tile grids MAY bin at (tile_h/PACK_ROWS)-row strip
+# granularity and fold one entry per strip per chunk slot — the sublane
+# dual of split packing, but with NO merge step: the strips are disjoint
+# ROW sets and the span scratch already stores every quantity per
+# (entry, row) lane, so stage A simply writes strip 0's entries on
+# sublanes [0, tile_h/2) and strip 1's on [tile_h/2, tile_h) of the same
+# slot. Each (C, R, W) stage-B fragment op then serves 2 entries — the
+# win split packing promised without the lane-select tree that killed it
+# (.ab_split.py). Costs: ~10-20% more entries (strip-boundary straddles)
+# and sub-bin imbalance padding in the lockstep block walk. Bit-exact vs
+# the unpacked fold (tested). Module flag (trace-time constant) for A/B;
+# applied only on wide grids at or below PACK_ROWS_MAX_PX_PER_TRI mean
+# pixels per triangle — above it, taller triangles overflow the entry
+# expansion into the large side list (strip bins halve the expansion's
+# row reach).
+PACK_ROWS = 1
+PACK_ROWS_MAX_PX_PER_TRI = 6
+# Entry-budget boost under row packing: strip straddles raise real
+# entries per visible triangle by ~10-20%, so the dense 1.2*T budget
+# gets this factor on top (drops stay counted, never silent).
+PACK_ROWS_BUDGET_BOOST = 1.25
+
 # How the split kernel merges sub-bin quantity planes: 'tree' (lane-select
 # tree) or 'repeat' (minor-axis stack + lane repeat; bit-equal in
 # interpret mode but REJECTED by Mosaic on real TPU — MosaicError at
@@ -805,15 +827,21 @@ SPANEX_QBASE = 6
 
 
 def _spanex_layout(n_fields, tile_h):
-    """(quantity count, gid lane, padded lane count) of a span record."""
+    """(quantity count, gid lane, padded lane count) of a span record.
+
+    The gid rides PER ROW (tile_h lanes, like every other quantity): with
+    row packing (PACK_ROWS > 1) one chunk slot carries a different entry —
+    hence a different gid — per tile-row strip; the unpacked path simply
+    broadcasts one gid across the row lanes (bit-identical fold)."""
     q = SPANEX_QBASE + 2 * n_fields
     gid_lane = q * tile_h
-    lanes = -(-(gid_lane + 1) // 128) * 128
+    lanes = -(-(gid_lane + tile_h) // 128) * 128
     return q, gid_lane, lanes
 
 
 def _stage_a_fill(scr_ref, rt, yf_col, ent_lo, ent_hi, w_f, fields,
-                  tile_h, half_lo=None, half_hi=None):
+                  tile_h, half_lo=None, half_hi=None, rt2=None,
+                  ent_lo2=None, ent_hi2=None):
     """Wide in-kernel stage A: span setup for ALL entries of one
     transposed record block at once — active-edge ordering, span bounds,
     left values and per-pixel increments (the ops.spans closed forms,
@@ -829,13 +857,32 @@ def _stage_a_fill(scr_ref, rt, yf_col, ent_lo, ent_hi, w_f, fields,
     f32 global frame rows of the target tile. Writes scr_ref (E, L) in
     _chunk_best_spanex's lane layout: lane q*tile_h + r = quantity q at
     row r, quantities [minx, maxx', xoff, zl, zinc] + [al, ainc per
-    field], gid on lane q_total*tile_h; maxx' = -BIG on rows with no span
-    and on entries outside [ent_lo, ent_hi) (neighbor tiles' entries in
-    boundary blocks)."""
+    field], gid on lanes [q_total*tile_h, (q_total+1)*tile_h); maxx' =
+    -BIG on rows with no span and on entries outside [ent_lo, ent_hi)
+    (neighbor tiles' entries in boundary blocks).
+
+    ``rt2`` (row packing, PACK_ROWS=2): a SECOND record block whose
+    entries are binned to the BOTTOM half of the tile's rows. Sublanes
+    [0, tile_h/2) take every field from ``rt`` and sublanes
+    [tile_h/2, tile_h) from ``rt2`` — slot e of the span scratch then
+    carries TWO entries on disjoint row strips, so every stage-B
+    (C, R, W) fragment op serves two entries with NO merge step (the
+    mechanism that killed column split packing — sub-bin lane-select
+    trees — does not exist here: rows are the sublane axis and every
+    quantity is already stored per (entry, row)). Per-entry math is the
+    single-block form verbatim on that entry's sublanes, so values are
+    bit-identical to running the halves unpacked. (ent_lo2, ent_hi2)
+    mask the second block's boundary entries."""
     e_n = rt.shape[1]
+    if rt2 is not None:
+        strip = jax.lax.broadcasted_iota(jnp.int32, (tile_h, 1), 0)
+        top = strip < (tile_h // 2)
 
     def field(e, j):
-        return rt[e * EDGE_STRIDE + j, :][None, :]  # (1, E)
+        row = rt[e * EDGE_STRIDE + j, :][None, :]  # (1, E)
+        if rt2 is None:
+            return row
+        return jnp.where(top, row, rt2[e * EDGE_STRIDE + j, :][None, :])
 
     yf = yf_col  # (R, 1)
 
@@ -896,6 +943,9 @@ def _stage_a_fill(scr_ref, rt, yf_col, ent_lo, ent_hi, w_f, fields,
         + act[2].astype(jnp.int32)
     )
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, e_n), 1)
+    if rt2 is not None:
+        ent_lo = jnp.where(top, ent_lo, ent_lo2)  # (tile_h, 1)
+        ent_hi = jnp.where(top, ent_hi, ent_hi2)
     span_ok = (nact >= 2) & (lane >= ent_lo) & (lane < ent_hi)
 
     # Span setup (projekt.cpp:306-421, closed form — identical op order to
@@ -931,8 +981,11 @@ def _stage_a_fill(scr_ref, rt, yf_col, ent_lo, ent_hi, w_f, fields,
     _, gid_lane, _ = _spanex_layout(len(fields), tile_h)
     for i, q in enumerate(quants):
         scr_ref[:, i * tile_h:(i + 1) * tile_h] = jnp.transpose(q)
-    scr_ref[:, gid_lane:gid_lane + 1] = jnp.transpose(
-        rt[GID_LANE:GID_LANE + 1, :]
+    gid_row = rt[GID_LANE, :][None, :]
+    if rt2 is not None:
+        gid_row = jnp.where(top, gid_row, rt2[GID_LANE, :][None, :])
+    scr_ref[:, gid_lane:gid_lane + tile_h] = jnp.transpose(
+        jnp.broadcast_to(gid_row, (tile_h, e_n))
     )
 
 
@@ -953,7 +1006,9 @@ def _chunk_best_spanex(rec, xc, n_fields, tile_h, tile_w):
     k = m3(xoff) + (xc - m3(minx))
     zfrag = m3(zl) + k * m3(zinc)
     _, gid_lane, _ = _spanex_layout(n_fields, tile_h)
-    gids = rec[:, gid_lane][:, None, None].astype(jnp.int32)
+    # Per-row gids: one chunk slot carries one entry per row strip under
+    # row packing (a broadcast row otherwise — same fold either way).
+    gids = rec[:, gid_lane:gid_lane + tile_h][:, :, None].astype(jnp.int32)
     if FOLD_DEFERRED:
         best_z, best_i, best_s = _fold_chunk_z(inspan, zfrag, gids,
                                                tile_h, tile_w)
@@ -1035,12 +1090,16 @@ def _chunk_best_spanex_split(recs, xc, sub_w, n_fields, tile_h, tile_w):
     _, gid_lane, _ = _spanex_layout(n_fields, tile_h)
     if SPLIT_MERGE == "repeat" and split > 1:
         gids = jnp.repeat(
-            jnp.stack([r[:, gid_lane] for r in recs], axis=1)[:, None, :],
+            jnp.stack(
+                [r[:, gid_lane:gid_lane + tile_h] for r in recs], axis=2
+            ),
             sub_w, axis=2,
-        ).astype(jnp.int32)  # (C, 1, W)
+        ).astype(jnp.int32)  # (C, R, W)
     else:
-        gparts = [r[:, gid_lane][:, None, None] for r in recs]  # (C, 1, 1)
-        gids = tree(gparts, 0, sub_w).astype(jnp.int32)  # (C, 1, W)
+        gparts = [
+            r[:, gid_lane:gid_lane + tile_h][:, :, None] for r in recs
+        ]  # (C, R, 1)
+        gids = tree(gparts, 0, sub_w).astype(jnp.int32)  # (C, R, W)
     if FOLD_DEFERRED:
         best_z, best_i, best_s = _fold_chunk_z(inspan, zfrag, gids,
                                                tile_h, tile_w)
@@ -1755,7 +1814,8 @@ def _raster_kernel_queue_shaded(wi_tile, starts, counts, item_ext, lcounts,
                                 lmeta, origin, params, rec_ref,
                                 *rest, frame_width, fields, objspecs,
                                 n_lights, tiles_x, tile_h, tile_w,
-                                blk=QUEUE_BLK, wide=False, split=1):
+                                blk=QUEUE_BLK, wide=False, split=1,
+                                rows_packed=1):
     """Shaded queue kernel. ``item_ext`` has ntiles+2 entries (last = maxw)
     so the dummy tail tile's item count is well-defined; the attribute
     scratch persists across a tile's consecutive work items (TPU grid steps
@@ -1787,11 +1847,14 @@ def _raster_kernel_queue_shaded(wi_tile, starts, counts, item_ext, lcounts,
     = [live length]. The earlier broadcast side pass rasterized the list
     over every tile in a second kernel and re-ran finalize (two
     full-frame shades)."""
-    if split > 1:
-        assert wide, "split binning requires the wide stage-A path"
-        rec_refs = [rec_ref] + list(rest[:split - 1])
-        lrec_ref = rest[split - 1]
-        rest = rest[split:]
+    assert split == 1 or rows_packed == 1, "col/row packing are exclusive"
+    assert rows_packed in (1, 2), rows_packed
+    streams = max(split, rows_packed)
+    if streams > 1:
+        assert wide, "split/row binning requires the wide stage-A path"
+        rec_refs = [rec_ref] + list(rest[:streams - 1])
+        lrec_ref = rest[streams - 1]
+        rest = rest[streams:]
     else:
         rec_refs = [rec_ref]
         lrec_ref, rest = rest[0], rest[1:]
@@ -1809,7 +1872,7 @@ def _raster_kernel_queue_shaded(wi_tile, starts, counts, item_ext, lcounts,
     ty = tile // tiles_x
     tx = tile - ty * tiles_x
     ci = g - item_ext[tile]
-    if split == 1:
+    if streams == 1:
         s = starts[tile]
         base = (s // blk + ci) * blk
         head = s - base
@@ -1870,6 +1933,46 @@ def _raster_kernel_queue_shaded(wi_tile, starts, counts, item_ext, lcounts,
                  for (lo, hi, _v), h in zip(bounds, has)]
         sub_lo = functools.reduce(jnp.minimum, [s_[0] for s_ in spans])
         sub_hi = functools.reduce(jnp.maximum, [s_[1] for s_ in spans])
+    elif rows_packed > 1:
+        # Row packing: entries are binned to (tile_h/rows_packed)-row
+        # strips; one grid step streams one record block per strip and
+        # stage A writes BOTH into one span scratch — strip 0's entries
+        # on sublanes [0, tile_h/2), strip 1's on [tile_h/2, tile_h) —
+        # so every stage-B fragment op serves rows_packed entries with
+        # no merge step (the strips are disjoint row sets). Chunk order
+        # is stream order per strip, so winners/ties match the unpacked
+        # fold bit-exactly.
+        bounds = [
+            _half_block_bounds(starts, counts, rows_packed * tile + h_,
+                               ci, blk)
+            for h_ in range(rows_packed)
+        ]
+        has = [v & (hi > lo) for (lo, hi, v) in bounds]
+        any_has = functools.reduce(jnp.logical_or, has)
+
+        @pl.when(any_has)
+        def _():
+            yf_col = (
+                origin[0] + ty * tile_h
+                + jax.lax.broadcasted_iota(jnp.int32, (tile_h, 1), 0)
+            ).astype(F32)
+            (lo_a, hi_a, _va), (lo_b, hi_b, _vb) = bounds
+            _stage_a_fill(spanex_ref, jnp.transpose(rec_refs[0][0]),
+                          yf_col, lo_a, hi_a, w_f, fields, tile_h,
+                          rt2=jnp.transpose(rec_refs[1][0]),
+                          ent_lo2=lo_b, ent_hi2=hi_b)
+
+        def sub_body(sub, _):
+            rec = spanex_ref[pl.ds(sub * CHUNK_T, CHUNK_T), :]
+            best = _chunk_best_spanex(rec, xc, len(fields), tile_h,
+                                      tile_w)
+            _merge_chunk_shaded(best, z_ref, gid_ref, scr_ref)
+            return 0
+
+        spans = [chunk_span(lo, hi, h)
+                 for (lo, hi, _v), h in zip(bounds, has)]
+        sub_lo = functools.reduce(jnp.minimum, [s_[0] for s_ in spans])
+        sub_hi = functools.reduce(jnp.maximum, [s_[1] for s_ in spans])
     elif wide:
         @pl.when(n > head)
         def _():
@@ -1897,7 +2000,7 @@ def _raster_kernel_queue_shaded(wi_tile, starts, counts, item_ext, lcounts,
             _merge_chunk_shaded(best, z_ref, gid_ref, scr_ref)
             return 0
 
-    if split == 1:
+    if streams == 1:
         sub_lo, sub_hi = chunk_span(head, n, n > head)
     jax.lax.fori_loop(sub_lo, sub_hi, sub_body, 0)
 
@@ -2139,7 +2242,20 @@ def rasterize_scene_shaded(
         # bit-identical).
         wide = tile_h <= 8
         assert PACK_SPLIT in (1, 2, 4, 8, 16), PACK_SPLIT
+        assert PACK_ROWS in (1, 2), PACK_ROWS
         split = PACK_SPLIT if wide else 1
+        rows = (
+            PACK_ROWS
+            if (
+                wide and split == 1
+                and t_policy * PACK_ROWS_MAX_PX_PER_TRI
+                >= frame_height * frame_width
+            )
+            else 1
+        )
+        if rows > 1:
+            budget_factor = budget_factor * PACK_ROWS_BUDGET_BOOST
+        streams = max(split, rows)
         blk = WIDE_BLK if wide else QUEUE_BLK
         qbins = bin_triangles_queue(
             edges, height,
@@ -2148,7 +2264,7 @@ def rasterize_scene_shaded(
             expansion=expansion, budget_factor=budget_factor,
             frame_height=frame_height, frame_width=frame_width,
             row0=row0, col0=col0, bbox=bbox, col_split=split,
-            visit_empty=VISIT_EMPTY_TILES,
+            row_split=rows, visit_empty=VISIT_EMPTY_TILES,
         )
         rec_stream, n_blocks = _queue_stream(edges, qbins, recs, blk)
         maxw = qbins.wi_tile.shape[0]
@@ -2179,18 +2295,18 @@ def rasterize_scene_shaded(
             _raster_kernel_queue_shaded, frame_width=frame_width,
             fields=fields, objspecs=objspecs, n_lights=n_lights,
             tiles_x=tiles_x, tile_h=tile_h, tile_w=TILE_W, blk=blk,
-            wide=wide, split=split,
+            wide=wide, split=split, rows_packed=rows,
         )
-        if split > 1:
+        if streams > 1:
             rec_indexes, out_index8 = _queue_index_maps_split(
-                tiles_x, n_blocks, blk, split
+                tiles_x, n_blocks, blk, streams
             )
             in_specs = [
                 pl.BlockSpec((1, blk, REC_LANES), ri) for ri in rec_indexes
             ] + [
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # side list
             ]
-            operands = [rec_stream] * split + [lshared]
+            operands = [rec_stream] * streams + [lshared]
         else:
             rec_index, out_index, _ = _queue_index_maps(tiles_x, n_blocks,
                                                         blk)
@@ -2244,9 +2360,9 @@ def rasterize_scene_shaded(
         # covered iff any of its (col_split) bins kept entries; a
         # non-empty large side list re-enables every-tile visits inside
         # bin_triangles_queue, so the mask must go all-true with it.
-        nbins = ntiles * split
+        nbins = ntiles * streams
         tile_cov = (
-            qbins.counts[:nbins].reshape(ntiles, split).sum(axis=1) > 0
+            qbins.counts[:nbins].reshape(ntiles, streams).sum(axis=1) > 0
         ) | (qbins.n_large > 0)
         covm = jnp.broadcast_to(
             tile_cov.reshape(tiles_y, 1, tiles_x, 1),

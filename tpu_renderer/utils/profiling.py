@@ -147,6 +147,14 @@ def stage_breakdown(obj, cfg, transform, lights, height: int, width: int,
     exp, bf = rp._queue_expansion(tile_h, T)
     wide = tile_h <= 8
     split = rp.PACK_SPLIT if wide else 1
+    rows = (
+        rp.PACK_ROWS
+        if (wide and split == 1
+            and T * rp.PACK_ROWS_MAX_PX_PER_TRI >= height * width)
+        else 1
+    )
+    if rows > 1:
+        bf = bf * rp.PACK_ROWS_BUDGET_BOOST
     blk = rp.WIDE_BLK if wide else rp.QUEUE_BLK
     _tx = -(-width // rp.TILE_W)
     bin_w = rp.TILE_W // split
@@ -161,7 +169,8 @@ def stage_breakdown(obj, cfg, transform, lights, height: int, width: int,
         q = bin_triangles_queue(None, height, bin_width, tile_h, bin_w,
                                 blk, expansion=exp, budget_factor=bf,
                                 bbox=bbox, frame_height=height,
-                                frame_width=width, col_split=split)
+                                frame_width=width, col_split=split,
+                                row_split=rows)
         # The full-record term keeps each prefix's upstream work
         # identical (no DCE skew in the deltas).
         return jnp.sum(q.counts).astype(jnp.float32) + _consume(recs)
@@ -174,7 +183,7 @@ def stage_breakdown(obj, cfg, transform, lights, height: int, width: int,
                                 blk, expansion=exp, budget_factor=bf,
                                 bbox=bbox, frame_height=height,
                                 frame_width=width, col_split=split,
-                                visit_empty=False)
+                                row_split=rows, visit_empty=False)
         if not use_fused_setup:
             recs = rp.finish_records(recs)
         stream, _ = rp._queue_stream(None, q, recs, blk)
