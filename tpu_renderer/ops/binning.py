@@ -356,6 +356,195 @@ class QueueBins(NamedTuple):
     n_dropped: jnp.ndarray  # () i32 entry-budget + large-list drops
 
 
+def _bin_queue_rows(
+    bbox, height, width, tile_h, tile_w, blk, budget_factor,
+    large_capacity, row0, col0, row_split, visit_empty,
+):
+    """Two-stream strip binning for row packing (PACK_ROWS).
+
+    Entries are binned to (tile_h/row_split)-row strips and split into
+    one stream per strip PARITY (top halves / bottom halves of the
+    framebuffer tiles), each independently expanded, keyed by
+    FRAMEBUFFER tile, sorted, and budgeted:
+
+    - Each stream needs only 2 expansion slots per triangle (a triangle
+      small enough to pack spans at most 2 same-parity strips x 2 tile
+      columns -> but only ceil(strips/2) of them per parity), so the two
+      sorts total 2 * 2T keys vs the single-stream flow's 4T — and the
+      key packs (fb_tile, tri) into u32 at the UNSPLIT tile count
+      (doubling the bin count overflowed the packed key at 2M triangles
+      and fell back to the ~1.5x pair sort: .ab_rows.py round 3).
+    - A tile's top range and bottom range live in different stream
+      REGIONS, so their block offsets are independent — the packed
+      kernel's lockstep walk actually overlaps the two runs. (The first
+      row-packing layout numbered strips adjacently in ONE stream; a
+      tile's halves then occupied disjoint lane ranges of the same
+      blocks and slots almost never carried two real entries — the
+      .ab_rows.py wash/loss.)
+
+    The streams are CONCATENATED (side B offset by its budget) with
+    starts/counts interleaved at 2*tile + side, so the split kernel's
+    indexing and index maps apply verbatim.
+
+    ``budget_factor`` is per STREAM: each side keeps budget_factor * T
+    entries (halves are statistically balanced; a pathological mesh
+    binning everything into one parity drops-and-counts, and
+    BUDGET_FACTOR_OVERRIDE remains the escape hatch).
+    """
+    rs = row_split
+    exp_h = 2
+    strip_h = tile_h // rs
+    tiles_y = -(-height // tile_h)
+    tiles_x = -(-width // tile_w)
+    nfb = tiles_y * tiles_x
+    n_strips = tiles_y * rs
+
+    tri_valid, ylo, yhi, xlo, xhi = bbox
+    T = tri_valid.shape[0]
+    ylo = ylo - jnp.asarray(row0, F32)
+    yhi = yhi - jnp.asarray(row0, F32)
+    xlo = xlo - jnp.asarray(col0, F32)
+    xhi = xhi - jnp.asarray(col0, F32)
+
+    sy_lo = jnp.clip(
+        jnp.floor(ylo / F32(strip_h)).astype(jnp.int32), 0, n_strips
+    )
+    sy_hi = jnp.clip(
+        jnp.ceil(yhi / F32(strip_h)).astype(jnp.int32), 0, n_strips
+    )  # exclusive
+    tx_lo = jnp.clip(
+        jnp.floor(xlo / F32(tile_w)).astype(jnp.int32), 0, tiles_x
+    )
+    tx_hi = jnp.clip(
+        jnp.floor(xhi / F32(tile_w)).astype(jnp.int32) + 1, 0, tiles_x
+    )
+    wx = jnp.maximum(tx_hi - tx_lo, 0)
+    covers = tri_valid & (sy_hi > sy_lo) & (wx > 0)
+
+    # Per-parity strip slots: parity h's strips within [sy_lo, sy_hi)
+    # start at base_h and step 2.
+    bases, nslots = [], []
+    for h in (0, 1):
+        base = sy_lo + ((h - sy_lo) & 1)
+        ns = jnp.where(
+            sy_hi > base, (sy_hi - base + 1) // 2, 0
+        ) * wx
+        bases.append(base)
+        nslots.append(ns)
+
+    small = covers & (nslots[0] <= exp_h) & (nslots[1] <= exp_h)
+    large = covers & ~small
+
+    entry_budget = int(-(-(budget_factor * max(T, blk)) // blk)) * blk
+    entry_budget = min(entry_budget, -(-(T * exp_h) // blk) * blk)
+
+    j = jnp.arange(exp_h, dtype=jnp.int32)[None, :]
+    wx_safe = jnp.maximum(wx, 1)[:, None]
+    entry_tri = jnp.broadcast_to(
+        jnp.arange(T, dtype=jnp.int32)[:, None], (T, exp_h)
+    ).reshape(-1)
+    tri_bits = max(1, int(T - 1).bit_length()) if T > 1 else 1
+    packed_ok = not FORCE_PAIR_SORT and (nfb + 1) << tri_bits < (1 << 32)
+
+    starts_sides, counts_sides, nblocks_sides, tris_sides = [], [], [], []
+    drops = jnp.zeros((), jnp.int32)
+    for h in (0, 1):
+        strip = bases[h][:, None] + 2 * (j // wx_safe)
+        tile = (strip // rs) * tiles_x + (tx_lo[:, None] + j % wx_safe)
+        slot_ok = small[:, None] & (j < nslots[h][:, None])
+        entry_tile = jnp.where(slot_ok, tile, nfb).reshape(-1)
+        if packed_ok:
+            key = (
+                (entry_tile.astype(jnp.uint32) << tri_bits)
+                | entry_tri.astype(jnp.uint32)
+            )
+            (skey,) = jax.lax.sort((key,), num_keys=1, is_stable=False)
+            bounds = jnp.arange(nfb + 1, dtype=jnp.uint32) << tri_bits
+            starts_full = jnp.searchsorted(
+                skey, bounds, side="left"
+            ).astype(jnp.int32)
+            sorted_tri = (
+                skey & jnp.uint32((1 << tri_bits) - 1)
+            ).astype(jnp.int32)
+        else:
+            sorted_tile, sorted_tri = jax.lax.sort(
+                (entry_tile, entry_tri), num_keys=1, is_stable=True
+            )
+            starts_full = jnp.searchsorted(
+                sorted_tile, jnp.arange(nfb + 1, dtype=jnp.int32),
+                side="left",
+            ).astype(jnp.int32)
+        drops = drops + jnp.maximum(starts_full[nfb] - entry_budget, 0)
+        starts_h = jnp.minimum(starts_full, entry_budget)
+        keep_h = starts_h[1:] - starts_h[:-1]
+        sorted_tri = jax.lax.slice(
+            jnp.pad(
+                sorted_tri, (0, max(0, entry_budget - sorted_tri.shape[0]))
+            ),
+            (0,), (entry_budget,),
+        )
+        # Dead tail: positions past the kept prefix are sentinel-key low
+        # bits — ascending tri ids with DUPLICATES (every triangle's
+        # unused slots), and duplicate-heavy index streams gather ~1.5x
+        # slower than distinct ones on this chip (.probe_gather.py).
+        # Point them at distinct sequential rows instead; no kernel step
+        # ever reads those rows (tile ranges end inside the kept
+        # prefix), so this is output-neutral.
+        idx = jnp.arange(entry_budget, dtype=jnp.int32)
+        sorted_tri = jnp.where(idx < starts_h[nfb], sorted_tri, idx % T)
+        starts_g = starts_h + jnp.int32(h * entry_budget)
+        b_lo = starts_g[:-1] // blk
+        b_hi = -(-starts_g[1:] // blk)
+        nblocks_sides.append(jnp.where(keep_h > 0, b_hi - b_lo, 0))
+        starts_sides.append(starts_g)
+        counts_sides.append(
+            jnp.concatenate([keep_h, jnp.zeros((1,), jnp.int32)])
+        )
+        tris_sides.append(sorted_tri)
+
+    sorted_tri = jnp.concatenate(tris_sides)
+    starts = jnp.stack(starts_sides, axis=1).reshape(-1)  # 2*tile + side
+    counts_out = jnp.stack(counts_sides, axis=1).reshape(-1).astype(
+        jnp.int32
+    )
+
+    # Large-triangle side list (compacted, submission order).
+    pos = jnp.cumsum(large.astype(jnp.int32)) - 1
+    n_large = jnp.sum(large.astype(jnp.int32))
+    keep = large & (pos < large_capacity)
+    scatter_pos = jnp.where(keep, pos, large_capacity)
+    large_ids = jnp.full((large_capacity + 1,), -1, jnp.int32)
+    large_ids = large_ids.at[scatter_pos].set(
+        jnp.arange(T, dtype=jnp.int32), mode="drop"
+    )[:large_capacity]
+
+    # Work items: the two streams walk in LOCKSTEP per tile, so the item
+    # count is the max over the sides' block counts.
+    nwi0 = jnp.maximum(nblocks_sides[0], nblocks_sides[1])
+    maxw = 2 * (entry_budget // blk) + 3 * nfb
+    if visit_empty:
+        nwi = jnp.maximum(nwi0, 1)
+    else:
+        nwi = jnp.where(n_large > 0, jnp.maximum(nwi0, 1), nwi0)
+    cum_wi = jnp.cumsum(nwi).astype(jnp.int32)
+    total_items = cum_wi[-1]
+    item_start = jnp.concatenate([jnp.zeros((1,), jnp.int32), cum_wi])
+    g = jnp.arange(maxw, dtype=jnp.int32)
+    tile_of_g = jnp.searchsorted(cum_wi, g, side="right").astype(jnp.int32)
+    wi_tile = jnp.where(g < total_items, tile_of_g, nfb)
+
+    return QueueBins(
+        sorted_tri=sorted_tri,
+        starts=starts,
+        counts=counts_out,
+        item_start=item_start,
+        wi_tile=wi_tile,
+        large_ids=large_ids,
+        n_large=jnp.minimum(n_large, large_capacity),
+        n_dropped=drops + jnp.maximum(n_large - large_capacity, 0),
+    )
+
+
 def bin_triangles_queue(
     edges: EdgeTable | None,
     height: int,
@@ -392,22 +581,28 @@ def bin_triangles_queue(
     nwi = max(max_s blocks_s, 1) items per tile, so one grid step
     streams one record block from EACH sub-bin into a shared fold.
 
-    ``row_split``: row packing (PACK_ROWS) — bins are
-    (tile_h/row_split)-row strips of the output tile, numbered
-    row_split*tile + strip so each framebuffer tile's sub-bins are
-    adjacent; work-item grouping is identical to col_split. Exclusive
-    with col_split.
+    ``row_split``: row packing (PACK_ROWS) — routes to the two-stream
+    strip binning (_bin_queue_rows): entries binned to
+    (tile_h/row_split)-row strips, one independently sorted stream per
+    strip parity, concatenated with interleaved starts/counts so the
+    split kernel's 2*tile + side indexing applies verbatim.
+    ``budget_factor`` is then PER STREAM (each stream's budget =
+    budget_factor * T) and ``expansion`` is ignored (each half-stream
+    needs only 2 slots per triangle). Exclusive with col_split.
     """
     assert col_split == 1 or row_split == 1, "col/row split are exclusive"
     if frame_height is None:
         frame_height = height
     if frame_width is None:
         frame_width = width
-    strip_h = tile_h // row_split
-    # Bin rows count in strips, forced to a multiple of row_split so the
-    # sub-bins of the last framebuffer tile row exist (entry-less strips
-    # past the frame are harmless).
-    tiles_y = -(-height // tile_h) * row_split
+    if row_split > 1:
+        if bbox is None:
+            bbox = triangle_bbox(edges, frame_height, frame_width)
+        return _bin_queue_rows(
+            bbox, height, width, tile_h, tile_w, blk, budget_factor,
+            large_capacity, row0, col0, row_split, visit_empty,
+        )
+    tiles_y = -(-height // tile_h)
     tiles_x = -(-width // tile_w)
     ntiles = tiles_y * tiles_x
 
@@ -420,8 +615,8 @@ def bin_triangles_queue(
     xlo = xlo - jnp.asarray(col0, F32)
     xhi = xhi - jnp.asarray(col0, F32)
 
-    ty_lo = jnp.clip(jnp.floor(ylo / F32(strip_h)).astype(jnp.int32), 0, tiles_y)
-    ty_hi = jnp.clip(jnp.ceil(yhi / F32(strip_h)).astype(jnp.int32), 0, tiles_y)
+    ty_lo = jnp.clip(jnp.floor(ylo / F32(tile_h)).astype(jnp.int32), 0, tiles_y)
+    ty_hi = jnp.clip(jnp.ceil(yhi / F32(tile_h)).astype(jnp.int32), 0, tiles_y)
     tx_lo = jnp.clip(jnp.floor(xlo / F32(tile_w)).astype(jnp.int32), 0, tiles_x)
     tx_hi = jnp.clip(
         jnp.floor(xhi / F32(tile_w)).astype(jnp.int32) + 1, 0, tiles_x
@@ -436,15 +631,7 @@ def bin_triangles_queue(
     # Expansion slots: slot j covers tile (ty_lo + j // wx, tx_lo + j % wx).
     j = jnp.arange(expansion, dtype=jnp.int32)[None, :]
     wx_safe = jnp.maximum(wx, 1)[:, None]
-    ty = ty_lo[:, None] + j // wx_safe
-    tx = tx_lo[:, None] + j % wx_safe
-    if row_split > 1:
-        # Interleaved-strip numbering: a framebuffer tile's row_split
-        # strips are adjacent bin indices (the split kernel indexes
-        # starts/counts at row_split*tile + strip).
-        tile = ((ty // row_split) * tiles_x + tx) * row_split + ty % row_split
-    else:
-        tile = ty * tiles_x + tx
+    tile = (ty_lo[:, None] + j // wx_safe) * tiles_x + (tx_lo[:, None] + j % wx_safe)
     slot_ok = small[:, None] & (j < n_tiles[:, None])
     entry_tile = jnp.where(slot_ok, tile, ntiles).reshape(-1)  # sentinel last
     entry_tri = jnp.broadcast_to(
@@ -556,14 +743,12 @@ def bin_triangles_queue(
     b_lo = starts[:-1] // blk
     b_hi = -(-starts[1:] // blk)
     nblocks_bin = jnp.where(keep_t > 0, b_hi - b_lo, 0)
-    group = col_split * row_split
-    if group > 1:
+    if col_split > 1:
         # Split mode: one item unit per FRAMEBUFFER tile covers a block
-        # from each of its ``group`` sub-bins (column bins or row
-        # strips); the group runs in lockstep so the item count is the
-        # max over the sub-bins.
-        nfb = ntiles // group
-        nwi0 = nblocks_bin.reshape(nfb, group).max(axis=1)
+        # from each of its col_split column bins; the group runs in
+        # lockstep so the item count is the max over the sub-bins.
+        nfb = ntiles // col_split
+        nwi0 = nblocks_bin.reshape(nfb, col_split).max(axis=1)
         sentinel = nfb
         # sum(max_s(b_s, 1)) <= sum(blocks per bin) + nfb; each bin adds
         # <= 1 straddle block beyond its entries/blk.
@@ -588,12 +773,12 @@ def bin_triangles_queue(
     counts_out = jnp.concatenate(
         [keep_t, jnp.zeros((1,), jnp.int32)]
     ).astype(jnp.int32)
-    if group > 1:
-        # The split kernel indexes bins at group*tile + s; the
+    if col_split > 1:
+        # The split kernel indexes bins at col_split*tile + s; the
         # sentinel tile's sub-bins land at indices up to
-        # ntiles + group - 1, so pad group - 1 extra empty-bin
+        # ntiles + col_split - 1, so pad col_split - 1 extra empty-bin
         # entries.
-        pad = group - 1
+        pad = col_split - 1
         starts = jnp.concatenate([starts] + [starts[-1:]] * pad)
         counts_out = jnp.concatenate(
             [counts_out, jnp.zeros((pad,), jnp.int32)]

@@ -199,19 +199,27 @@ PACK_SPLIT = 1
 # sublanes [0, tile_h/2) and strip 1's on [tile_h/2, tile_h) of the same
 # slot. Each (C, R, W) stage-B fragment op then serves 2 entries — the
 # win split packing promised without the lane-select tree that killed it
-# (.ab_split.py). Costs: ~10-20% more entries (strip-boundary straddles)
-# and sub-bin imbalance padding in the lockstep block walk. Bit-exact vs
-# the unpacked fold (tested). Module flag (trace-time constant) for A/B;
-# applied only on wide grids at or below PACK_ROWS_MAX_PX_PER_TRI mean
-# pixels per triangle — above it, taller triangles overflow the entry
-# expansion into the large side list (strip bins halve the expansion's
-# row reach).
+# (.ab_split.py). The binning side runs TWO per-parity streams
+# (binning._bin_queue_rows): two 2T-key sorts instead of one 4T sort,
+# packed u32 keys at the unsplit tile count, and independent stream
+# offsets so the lockstep walk actually overlaps a tile's two runs.
+# Bit-exact vs the unpacked fold (tested). Module flag (trace-time
+# constant) for A/B; applied only on wide grids at or below
+# PACK_ROWS_MAX_PX_PER_TRI mean pixels per triangle — above it, taller
+# triangles overflow the strip expansion into the large side list.
 PACK_ROWS = 1
 PACK_ROWS_MAX_PX_PER_TRI = 6
-# Entry-budget boost under row packing: strip straddles raise real
-# entries per visible triangle by ~10-20%, so the dense 1.2*T budget
-# gets this factor on top (drops stay counted, never silent).
-PACK_ROWS_BUDGET_BOOST = 1.25
+# Per-STREAM entry budget under row packing, as a fraction of the dense
+# budget factor: each parity stream holds ~half the entries, with
+# headroom for imbalance (drops stay counted, never silent; measured
+# strip straddle inflation at 1M/2M is ~zero — .ab_rows.py entry stats).
+# The budget drives BOTH the stream gather length and the static
+# work-item grid bound, so headroom is paid per frame: 0.75 measured
+# +28 ms of stream gather at 2M (measurements/r3/rows_stages_2m.log).
+# 0.45 gives each stream ~2.2x headroom over the balanced half at the
+# densest probed mesh; pathological single-parity meshes drop-and-count
+# (BUDGET_FACTOR_OVERRIDE remains the escape hatch).
+PACK_ROWS_STREAM_FRAC = 0.45
 
 # How the split kernel merges sub-bin quantity planes: 'tree' (lane-select
 # tree) or 'repeat' (minor-axis stack + lane repeat; bit-equal in
@@ -2254,7 +2262,7 @@ def rasterize_scene_shaded(
             else 1
         )
         if rows > 1:
-            budget_factor = budget_factor * PACK_ROWS_BUDGET_BOOST
+            budget_factor = budget_factor * PACK_ROWS_STREAM_FRAC
         streams = max(split, rows)
         blk = WIDE_BLK if wide else QUEUE_BLK
         qbins = bin_triangles_queue(
