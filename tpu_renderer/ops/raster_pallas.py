@@ -207,7 +207,13 @@ PACK_SPLIT = 1
 # constant) for A/B; applied only on wide grids at or below
 # PACK_ROWS_MAX_PX_PER_TRI mean pixels per triangle — above it, taller
 # triangles overflow the strip expansion into the large side list.
-PACK_ROWS = 1
+# Hardware verdict (measurements/r3/ab_rows3.log, interleaved A/B,
+# medians of 5, 1080p Phong): rows 2 beats rows 1 at every active
+# scale — 36.6 vs 40.5 ms @500k, 64.2 vs 71.7 @1M, 116.5 vs 124.5 @2M
+# — once the two-stream strip binning + 0.45 per-stream budget landed
+# (earlier single-sort/0.75-budget drafts lost at 2M to stream gather
+# and binning overhead; rows_stages_2m.log has the attribution).
+PACK_ROWS = 2
 PACK_ROWS_MAX_PX_PER_TRI = 6
 # Per-STREAM entry budget under row packing, as a fraction of the dense
 # budget factor: each parity stream holds ~half the entries, with
