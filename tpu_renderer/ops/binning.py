@@ -356,6 +356,47 @@ class QueueBins(NamedTuple):
     n_dropped: jnp.ndarray  # () i32 entry-budget + large-list drops
 
 
+# Large-triangle side-list compaction form. True = cumsum + searchsorted
+# (no scatter); False = the round-2 T-length scatter, kept for A/B
+# (scatter measured ~5.8 ns/elem on this chip — probe_sort.log).
+LARGE_LIST_SEARCHSORTED = True
+
+
+def _large_side_list(large, large_capacity):
+    """Compact the large-triangle mask into a fixed-capacity id list in
+    submission order, WITHOUT a scatter.
+
+    The obvious ``.at[pos].set(arange(T))`` form is a T-length scatter
+    (~5.8 ns/elem on this chip — ~12 ms at 2M triangles, measured in
+    measurements/r3/probe_sort.log) just to fill a <= large_capacity
+    list. Instead: slot i's triangle is the first t whose INCLUSIVE
+    cumsum of ``large`` reaches i + 1 — a searchsorted of
+    ``large_capacity`` sorted queries over the (T,) cumsum (the cumsum
+    costs ~1.1 ns/elem, the binary searches are negligible). Output is
+    bit-identical to the scatter form: ids in submission order, -1
+    padding past n_large (unit-compared in tests/test_binning.py).
+
+    Returns (large_ids (large_capacity,) i32, n_large () i32 — the
+    UNCLAMPED total, as before; callers clamp and count drops)."""
+    T = large.shape[0]
+    if not LARGE_LIST_SEARCHSORTED:
+        pos = jnp.cumsum(large.astype(jnp.int32)) - 1
+        n_large = jnp.sum(large.astype(jnp.int32))
+        keep = large & (pos < large_capacity)
+        scatter_pos = jnp.where(keep, pos, large_capacity)
+        large_ids = jnp.full((large_capacity + 1,), -1, jnp.int32)
+        large_ids = large_ids.at[scatter_pos].set(
+            jnp.arange(T, dtype=jnp.int32), mode="drop"
+        )[:large_capacity]
+        return large_ids, n_large
+    pos_incl = jnp.cumsum(large.astype(jnp.int32))  # (T,) inclusive
+    n_large = pos_incl[-1]
+    targets = jnp.arange(1, large_capacity + 1, dtype=jnp.int32)
+    idx = jnp.searchsorted(pos_incl, targets, side="left").astype(jnp.int32)
+    large_ids = jnp.where(targets <= n_large, idx, jnp.int32(-1))
+    return large_ids, n_large
+
+
 def _bin_queue_rows(
     bbox, height, width, tile_h, tile_w, blk, budget_factor,
     large_capacity, row0, col0, row_split, visit_empty,
@@ -508,15 +549,7 @@ def _bin_queue_rows(
         jnp.int32
     )
 
-    # Large-triangle side list (compacted, submission order).
-    pos = jnp.cumsum(large.astype(jnp.int32)) - 1
-    n_large = jnp.sum(large.astype(jnp.int32))
-    keep = large & (pos < large_capacity)
-    scatter_pos = jnp.where(keep, pos, large_capacity)
-    large_ids = jnp.full((large_capacity + 1,), -1, jnp.int32)
-    large_ids = large_ids.at[scatter_pos].set(
-        jnp.arange(T, dtype=jnp.int32), mode="drop"
-    )[:large_capacity]
+    large_ids, n_large = _large_side_list(large, large_capacity)
 
     # Work items: the two streams walk in LOCKSTEP per tile, so the item
     # count is the max over the sides' block counts.
@@ -721,15 +754,7 @@ def bin_triangles_queue(
             sorted_tri, 0,
         )
 
-    # Large-triangle side list (compacted, submission order).
-    pos = jnp.cumsum(large.astype(jnp.int32)) - 1
-    n_large = jnp.sum(large.astype(jnp.int32))
-    keep = large & (pos < large_capacity)
-    scatter_pos = jnp.where(keep, pos, large_capacity)
-    large_ids = jnp.full((large_capacity + 1,), -1, jnp.int32)
-    large_ids = large_ids.at[scatter_pos].set(
-        jnp.arange(T, dtype=jnp.int32), mode="drop"
-    )[:large_capacity]
+    large_ids, n_large = _large_side_list(large, large_capacity)
 
     # Work items: one per record block a tile's (unaligned) entry range
     # touches. With visit_empty, >= 1 per tile so every output tile gets
