@@ -479,10 +479,18 @@ def _bin_queue_rows(
     entry_budget = int(-(-(budget_factor * max(T, blk)) // blk)) * blk
     entry_budget = min(entry_budget, -(-(T * exp_h) // blk) * blk)
 
-    j = jnp.arange(exp_h, dtype=jnp.int32)[None, :]
-    wx_safe = jnp.maximum(wx, 1)[:, None]
+    # Emission is SLOT-MAJOR — (exp_h, T) arrays, minor dim = triangles on
+    # full 128 lanes, flattened row-major. The tri-major (T, exp_h)
+    # .reshape(-1) form materialized a cross-lane relayout of a
+    # 2-valid-lane array as the sort's operand copy (~3 ms per 4M-key
+    # sort on this chip: .probe_emitlayout.py — jnp.sum consumers never
+    # paid it, which hid the tax in the sort stage). Emission order is
+    # free here: the packed key totally orders entries by (tile, tri),
+    # and the pair fallback sorts num_keys=2 for the same total order.
+    j = jnp.arange(exp_h, dtype=jnp.int32)[:, None]
+    wx_safe = jnp.maximum(wx, 1)[None, :]
     entry_tri = jnp.broadcast_to(
-        jnp.arange(T, dtype=jnp.int32)[:, None], (T, exp_h)
+        jnp.arange(T, dtype=jnp.int32)[None, :], (exp_h, T)
     ).reshape(-1)
     tri_bits = max(1, int(T - 1).bit_length()) if T > 1 else 1
     packed_ok = not FORCE_PAIR_SORT and (nfb + 1) << tri_bits < (1 << 32)
@@ -490,9 +498,9 @@ def _bin_queue_rows(
     starts_sides, counts_sides, nblocks_sides, tris_sides = [], [], [], []
     drops = jnp.zeros((), jnp.int32)
     for h in (0, 1):
-        strip = bases[h][:, None] + 2 * (j // wx_safe)
-        tile = (strip // rs) * tiles_x + (tx_lo[:, None] + j % wx_safe)
-        slot_ok = small[:, None] & (j < nslots[h][:, None])
+        strip = bases[h][None, :] + 2 * (j // wx_safe)
+        tile = (strip // rs) * tiles_x + (tx_lo[None, :] + j % wx_safe)
+        slot_ok = small[None, :] & (j < nslots[h][None, :])
         entry_tile = jnp.where(slot_ok, tile, nfb).reshape(-1)
         if packed_ok:
             key = (
@@ -508,8 +516,13 @@ def _bin_queue_rows(
                 skey & jnp.uint32((1 << tri_bits) - 1)
             ).astype(jnp.int32)
         else:
+            # num_keys=2: slot-major emission is not submission order, so
+            # order by (tile, tri) explicitly — identical output to the
+            # old stable-by-tile sort of tri-major entries (real
+            # (tile, tri) pairs are distinct; duplicate sentinel pairs
+            # are value-identical in both operands).
             sorted_tile, sorted_tri = jax.lax.sort(
-                (entry_tile, entry_tri), num_keys=1, is_stable=True
+                (entry_tile, entry_tri), num_keys=2, is_stable=False
             )
             starts_full = jnp.searchsorted(
                 sorted_tile, jnp.arange(nfb + 1, dtype=jnp.int32),
@@ -662,13 +675,20 @@ def bin_triangles_queue(
     large = n_tiles > expansion
 
     # Expansion slots: slot j covers tile (ty_lo + j // wx, tx_lo + j % wx).
-    j = jnp.arange(expansion, dtype=jnp.int32)[None, :]
-    wx_safe = jnp.maximum(wx, 1)[:, None]
-    tile = (ty_lo[:, None] + j // wx_safe) * tiles_x + (tx_lo[:, None] + j % wx_safe)
-    slot_ok = small[:, None] & (j < n_tiles[:, None])
+    # SLOT-MAJOR emission — (expansion, T) arrays flattened row-major, so
+    # the sort's operand copy reads full-lane rows instead of relayouting
+    # a (T, expansion) 4-valid-lane array (~3 ms per 4M-key sort:
+    # .probe_emitlayout.py). Order is free: the packed key totally orders
+    # by (tile, tri); the pair fallback sorts num_keys=2 to match.
+    j = jnp.arange(expansion, dtype=jnp.int32)[:, None]
+    wx_safe = jnp.maximum(wx, 1)[None, :]
+    tile = (ty_lo[None, :] + j // wx_safe) * tiles_x + (
+        tx_lo[None, :] + j % wx_safe
+    )
+    slot_ok = small[None, :] & (j < n_tiles[None, :])
     entry_tile = jnp.where(slot_ok, tile, ntiles).reshape(-1)  # sentinel last
     entry_tri = jnp.broadcast_to(
-        jnp.arange(T, dtype=jnp.int32)[:, None], (T, expansion)
+        jnp.arange(T, dtype=jnp.int32)[None, :], (expansion, T)
     ).reshape(-1)
 
     # Static entry budget: the kept record layout is exactly entry_budget
@@ -685,7 +705,7 @@ def bin_triangles_queue(
         # instead of one over all T*expansion slots.
         kept_n = jnp.where(small, n_tiles, 0)
         base = jnp.cumsum(kept_n) - kept_n  # exclusive, (T,)
-        pos = (base[:, None] + j).reshape(-1)
+        pos = (base[None, :] + j).reshape(-1)  # slot-major, matches entries
         n_real = base[-1] + kept_n[-1]
         compact_drops = jnp.maximum(n_real - entry_budget, 0)
         tgt = jnp.where(keepm & (pos < entry_budget), pos, entry_budget)
@@ -722,8 +742,11 @@ def bin_triangles_queue(
             skey & jnp.uint32((1 << tri_bits) - 1)
         ).astype(jnp.int32)
     else:
+        # num_keys=2 (not stable-by-tile): slot-major emission is not
+        # submission order, so order by (tile, tri) explicitly — output
+        # identical to the old stable sort of tri-major entries.
         sorted_tile, sorted_tri = jax.lax.sort(
-            (entry_tile, entry_tri), num_keys=1, is_stable=True
+            (entry_tile, entry_tri), num_keys=2, is_stable=False
         )
         starts_full = jnp.searchsorted(
             sorted_tile, jnp.arange(ntiles + 1, dtype=jnp.int32),
