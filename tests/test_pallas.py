@@ -594,3 +594,38 @@ def test_mask_dead_gather_equivalent():
     assert int(stats0["bins_dropped"]) == int(stats1["bins_dropped"]) == 0
     for a, b in ((cov0, cov1), (z0, z1), (col0, col1)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_budget_calibration_bit_identical_and_counted():
+    """calibrate_budget_factor suggests a tightened BUDGET_FACTOR_OVERRIDE
+    from one frame's realized stream utilization; applying it keeps the
+    frame bit-identical with zero drops (the budget is pure capacity
+    while it holds), and the new stats expose real demand."""
+    from tpu_renderer.engine import renderer as R
+    from tpu_renderer.ops import raster_pallas as rp
+
+    scene_g, tr_d, li_d = scenes.baseline_scene(4, 256, 256)
+    scene, tr, li = scenes.to_jax_scene(scene_g, tr_d, li_d)
+    stats = {}
+    fb = R.render_scene(None, scene, tr, li, backend="pallas",
+                        frame_height=256, frame_width=256, stats=stats)
+    assert int(stats["bins_dropped"]) == 0
+    assert int(stats["bins_real_entries"]) > 0
+    util = float(stats["bins_budget_utilization"])
+    assert 0.0 < util <= 1.0
+
+    s = R.calibrate_budget_factor(scene, tr, li, 256, 256)
+    assert s is not None and 0.0 < s <= float(stats["bins_budget_factor"])
+    try:
+        rp.BUDGET_FACTOR_OVERRIDE = s
+        stats2 = {}
+        fb2 = R.render_scene(None, scene, tr, li, backend="pallas",
+                             frame_height=256, frame_width=256,
+                             stats=stats2)
+    finally:
+        rp.BUDGET_FACTOR_OVERRIDE = None
+    assert int(stats2["bins_dropped"]) == 0
+    # Tightened budget, same real demand: utilization can only rise.
+    assert float(stats2["bins_budget_utilization"]) >= util
+    np.testing.assert_array_equal(np.asarray(fb.color), np.asarray(fb2.color))
+    np.testing.assert_array_equal(np.asarray(fb.depth), np.asarray(fb2.depth))

@@ -36,6 +36,38 @@ from ..ops.shading import shade
 F32 = jnp.float32
 
 
+def _merge_stats(stats: dict | None, rstats: dict) -> None:
+    """Accumulate one draw's raster stats into the caller's dict.
+
+    Counters (drops, real entries) sum across draws; budget utilization
+    takes the max (it is per-stream-budget relative, so the scene's
+    binding constraint is its worst draw); the policy budget factor is
+    that of the max-utilization draw, so the pair feeds
+    calibrate_budget_factor directly."""
+    if stats is None:
+        return
+    stats["bins_dropped"] = (
+        stats.get("bins_dropped", 0) + rstats["bins_dropped"]
+    )
+    if "bins_real_entries" not in rstats:  # mask strategy: no stream
+        return
+    stats["bins_real_entries"] = (
+        stats.get("bins_real_entries", 0) + rstats["bins_real_entries"]
+    )
+    util = rstats["bins_budget_utilization"]
+    prev = stats.get("bins_budget_utilization")
+    if prev is None:
+        stats["bins_budget_utilization"] = util
+        stats["bins_budget_factor"] = rstats["bins_budget_factor"]
+    else:
+        stats["bins_budget_utilization"] = jnp.maximum(prev, util)
+        # Trace-time constant; scenes mixing policies keep the larger
+        # factor (conservative for calibration).
+        stats["bins_budget_factor"] = max(
+            stats["bins_budget_factor"], rstats["bins_budget_factor"]
+        )
+
+
 def _texture_fits_fused(texture) -> bool:
     from ..ops.raster_pallas import MAX_FUSED_TEX_DIM, MAX_FUSED_TEX_PIXELS
 
@@ -114,10 +146,7 @@ def render_object(
             texture=obj.texture if fused_tex else None,
             filter_mode=cfg.filter_mode,
         )
-        if stats is not None:
-            stats["bins_dropped"] = (
-                stats.get("bins_dropped", 0) + rstats["bins_dropped"]
-            )
+        _merge_stats(stats, rstats)
         if fresh:
             return Framebuffer(color=packed, depth=z)
         win = covered & (z > framebuffer.depth)
@@ -144,10 +173,7 @@ def render_object(
             rec_t, height, width, capacity, frame_height, frame_width,
             row0, col0,
         )
-        if stats is not None:
-            stats["bins_dropped"] = (
-                stats.get("bins_dropped", 0) + rstats["bins_dropped"]
-            )
+        _merge_stats(stats, rstats)
     else:
         raise ValueError(f"unknown backend: {backend}")
 
@@ -301,10 +327,7 @@ def _render_scene_batched(
         rec_t, tuple(objspecs), transform, lights, height, width, capacity,
         frame_height, frame_width, row0, col0, atlas=atlas,
     )
-    if stats is not None:
-        stats["bins_dropped"] = (
-            stats.get("bins_dropped", 0) + rstats["bins_dropped"]
-        )
+    _merge_stats(stats, rstats)
     if fresh:
         return Framebuffer(color=packed, depth=z)
     win = covered & (z > framebuffer.depth)
@@ -409,3 +432,44 @@ class Renderer:
 
             self._compiled[key] = fn
         return fn(objs, transform, lights)
+
+
+def calibrate_budget_factor(
+    scene: Sequence[Tuple[RenderObject, ObjectConfig]],
+    transform: ProjectiveTransform,
+    lights: LightData,
+    frame_height: int,
+    frame_width: int,
+    margin: float = 1.25,
+) -> Optional[float]:
+    """Measure one frame's real binning demand and suggest a tightened
+    ``raster_pallas.BUDGET_FACTOR_OVERRIDE`` for this scene family.
+
+    The sorted strategy's static entry budget (budget_factor * T per
+    stream) drives the per-frame record-gather length and the work-item
+    grid bound, but the open-mesh-safe default carries ~2x headroom over
+    a typical closed mesh's real demand (ROADMAP: real entries ~0.7/tri
+    closed vs the 1.2 default). jit forbids a dynamic budget, so the
+    production escape hatch is: render ONE representative frame here,
+    read the realized max-stream utilization, and return
+    ``used_factor * utilization * margin`` (clamped to the default — the
+    suggestion only ever tightens). Returns None when the scene never
+    used a stream budget (mask strategy / empty scene).
+
+    Apply via ``raster_pallas.BUDGET_FACTOR_OVERRIDE = value`` (a
+    trace-time constant: set it BEFORE the first jit of the frame
+    function). Drops remain counted in stats['bins_dropped'] — if a
+    later frame of the family overflows the tightened budget, re-run
+    calibration on that frame; nothing is ever silently lost."""
+    stats: dict = {}
+    render_scene(
+        None, list(scene), transform, lights, backend="pallas",
+        frame_height=frame_height, frame_width=frame_width, stats=stats,
+    )
+    if "bins_budget_utilization" not in stats:
+        return None
+    util = float(stats["bins_budget_utilization"])
+    used = float(stats["bins_budget_factor"])
+    if util <= 0.0:
+        return None
+    return min(used, used * util * margin)

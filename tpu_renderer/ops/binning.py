@@ -354,6 +354,8 @@ class QueueBins(NamedTuple):
     large_ids: jnp.ndarray  # (Lcap,) i32, -1 padded
     n_large: jnp.ndarray  # () i32
     n_dropped: jnp.ndarray  # () i32 entry-budget + large-list drops
+    n_real: jnp.ndarray  # () i32 real entries pre-budget (all streams)
+    budget_util: jnp.ndarray  # () f32 max-stream real / per-stream budget
 
 
 # Large-triangle side-list compaction form. True = cumsum + searchsorted
@@ -497,6 +499,8 @@ def _bin_queue_rows(
 
     starts_sides, counts_sides, nblocks_sides, tris_sides = [], [], [], []
     drops = jnp.zeros((), jnp.int32)
+    n_real = jnp.zeros((), jnp.int32)
+    max_stream_real = jnp.zeros((), jnp.int32)
     for h in (0, 1):
         strip = bases[h][None, :] + 2 * (j // wx_safe)
         tile = (strip // rs) * tiles_x + (tx_lo[None, :] + j % wx_safe)
@@ -529,6 +533,8 @@ def _bin_queue_rows(
                 side="left",
             ).astype(jnp.int32)
         drops = drops + jnp.maximum(starts_full[nfb] - entry_budget, 0)
+        n_real = n_real + starts_full[nfb]
+        max_stream_real = jnp.maximum(max_stream_real, starts_full[nfb])
         starts_h = jnp.minimum(starts_full, entry_budget)
         keep_h = starts_h[1:] - starts_h[:-1]
         sorted_tri = jax.lax.slice(
@@ -588,6 +594,8 @@ def _bin_queue_rows(
         large_ids=large_ids,
         n_large=jnp.minimum(n_large, large_capacity),
         n_dropped=drops + jnp.maximum(n_large - large_capacity, 0),
+        n_real=n_real,
+        budget_util=max_stream_real.astype(F32) / F32(entry_budget),
     )
 
 
@@ -840,4 +848,6 @@ def bin_triangles_queue(
         large_ids=large_ids,
         n_large=jnp.minimum(n_large, large_capacity),
         n_dropped=entry_drops + jnp.maximum(n_large - large_capacity, 0),
+        n_real=total_real,
+        budget_util=total_real.astype(F32) / F32(entry_budget),
     )

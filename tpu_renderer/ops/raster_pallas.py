@@ -2244,6 +2244,7 @@ def rasterize_scene_shaded(
                 else pack_records(edges)
             )
         expansion, budget_factor = _queue_expansion(tile_h, t_policy)
+        bf_policy = budget_factor  # pre-stream-frac: what OVERRIDE replaces
         # Dense fine-tile grids run the wide (full-lane-width) in-kernel
         # stage A over WIDE_BLK-entry blocks; sparse 32-row grids keep
         # narrow 64-entry blocks with per-chunk span setup (most of their
@@ -2385,7 +2386,12 @@ def rasterize_scene_shaded(
         z = jnp.where(covm, z[:height, :width], DEPTH_CLEAR)
         gid = jnp.where(covm, gid[:height, :width], jnp.int32(-1))
         color = jnp.where(covm, color[:height, :width], jnp.uint32(0))
-        stats = {"bins_dropped": qbins.n_dropped}
+        stats = {
+            "bins_dropped": qbins.n_dropped,
+            "bins_real_entries": qbins.n_real,
+            "bins_budget_utilization": qbins.budget_util,
+            "bins_budget_factor": bf_policy,
+        }
     else:
         raise ValueError(f"unknown strategy: {strategy}")
 
@@ -2499,7 +2505,12 @@ def rasterize_pallas(
         gid, gbuf = jax.lax.cond(
             qbins.n_large > 0, with_large, lambda args: args, (gid, gbuf)
         )
-        stats = {"bins_dropped": qbins.n_dropped}
+        stats = {
+            "bins_dropped": qbins.n_dropped,
+            "bins_real_entries": qbins.n_real,
+            "bins_budget_utilization": qbins.budget_util,
+            "bins_budget_factor": budget_factor,
+        }
     else:
         raise ValueError(f"unknown strategy: {strategy}")
 
