@@ -185,7 +185,7 @@ def test_pack_rows_bit_exact(phong):
     outs = {}
     orig_r, orig_g = rp.PACK_ROWS, rp.PACK_ROWS_MAX_PX_PER_TRI
     try:
-        for rows in (1, 2):
+        for rows in (1, 2, 4):
             rp.PACK_ROWS = rows
             rp.PACK_ROWS_MAX_PX_PER_TRI = 10 ** 9  # force the gate open
             cov, z, col, stats = rp.rasterize_pallas_shaded(
@@ -200,7 +200,7 @@ def test_pack_rows_bit_exact(phong):
         outs["mask"] = (np.asarray(cov), np.asarray(z), np.asarray(col))
     finally:
         rp.PACK_ROWS, rp.PACK_ROWS_MAX_PX_PER_TRI = orig_r, orig_g
-    for key in (2, "mask"):
+    for key in (2, 4, "mask"):
         for a, b in zip(outs[1], outs[key]):
             np.testing.assert_array_equal(a, b)
     assert outs[1][0].any()
@@ -241,7 +241,7 @@ def test_pack_rows_textured_odd_height_large_sidelist():
     outs = {}
     orig_r, orig_g = rp.PACK_ROWS, rp.PACK_ROWS_MAX_PX_PER_TRI
     try:
-        for rows in (1, 2):
+        for rows in (1, 2, 4):
             rp.PACK_ROWS = rows
             rp.PACK_ROWS_MAX_PX_PER_TRI = 10 ** 9
             cov, z, col, stats = rp.rasterize_pallas_shaded(
@@ -252,8 +252,9 @@ def test_pack_rows_textured_odd_height_large_sidelist():
             outs[rows] = (np.asarray(cov), np.asarray(z), np.asarray(col))
     finally:
         rp.PACK_ROWS, rp.PACK_ROWS_MAX_PX_PER_TRI = orig_r, orig_g
-    for a, b in zip(outs[1], outs[2]):
-        np.testing.assert_array_equal(a, b)
+    for rows in (2, 4):
+        for a, b in zip(outs[1], outs[rows]):
+            np.testing.assert_array_equal(a, b)
     assert outs[1][0].any()
 
 

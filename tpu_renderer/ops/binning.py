@@ -10,6 +10,7 @@ never silently truncated (drops are returned for the engine to log).
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -465,17 +466,21 @@ def _bin_queue_rows(
     covers = tri_valid & (sy_hi > sy_lo) & (wx > 0)
 
     # Per-parity strip slots: parity h's strips within [sy_lo, sy_hi)
-    # start at base_h and step 2.
+    # start at base_h and step rs (one strip per framebuffer tile per
+    # parity, so the packed key stays at the unsplit tile count for any
+    # rs).
     bases, nslots = [], []
-    for h in (0, 1):
-        base = sy_lo + ((h - sy_lo) & 1)
+    for h in range(rs):
+        base = sy_lo + ((h - sy_lo) % rs)
         ns = jnp.where(
-            sy_hi > base, (sy_hi - base + 1) // 2, 0
+            sy_hi > base, (sy_hi - base + (rs - 1)) // rs, 0
         ) * wx
         bases.append(base)
         nslots.append(ns)
 
-    small = covers & (nslots[0] <= exp_h) & (nslots[1] <= exp_h)
+    small = covers
+    for ns in nslots:
+        small = small & (ns <= exp_h)
     large = covers & ~small
 
     entry_budget = int(-(-(budget_factor * max(T, blk)) // blk)) * blk
@@ -501,8 +506,8 @@ def _bin_queue_rows(
     drops = jnp.zeros((), jnp.int32)
     n_real = jnp.zeros((), jnp.int32)
     max_stream_real = jnp.zeros((), jnp.int32)
-    for h in (0, 1):
-        strip = bases[h][None, :] + 2 * (j // wx_safe)
+    for h in range(rs):
+        strip = bases[h][None, :] + rs * (j // wx_safe)
         tile = (strip // rs) * tiles_x + (tx_lo[None, :] + j % wx_safe)
         slot_ok = small[None, :] & (j < nslots[h][None, :])
         entry_tile = jnp.where(slot_ok, tile, nfb).reshape(-1)
@@ -570,10 +575,10 @@ def _bin_queue_rows(
 
     large_ids, n_large = _large_side_list(large, large_capacity)
 
-    # Work items: the two streams walk in LOCKSTEP per tile, so the item
+    # Work items: the rs streams walk in LOCKSTEP per tile, so the item
     # count is the max over the sides' block counts.
-    nwi0 = jnp.maximum(nblocks_sides[0], nblocks_sides[1])
-    maxw = 2 * (entry_budget // blk) + 3 * nfb
+    nwi0 = functools.reduce(jnp.maximum, nblocks_sides)
+    maxw = rs * (entry_budget // blk) + (rs + 1) * nfb
     if visit_empty:
         nwi = jnp.maximum(nwi0, 1)
     else:

@@ -854,8 +854,8 @@ def _spanex_layout(n_fields, tile_h):
 
 
 def _stage_a_fill(scr_ref, rt, yf_col, ent_lo, ent_hi, w_f, fields,
-                  tile_h, half_lo=None, half_hi=None, rt2=None,
-                  ent_lo2=None, ent_hi2=None):
+                  tile_h, half_lo=None, half_hi=None, rt_strips=(),
+                  ent_strips=()):
     """Wide in-kernel stage A: span setup for ALL entries of one
     transposed record block at once — active-edge ordering, span bounds,
     left values and per-pixel increments (the ops.spans closed forms,
@@ -875,28 +875,40 @@ def _stage_a_fill(scr_ref, rt, yf_col, ent_lo, ent_hi, w_f, fields,
     -BIG on rows with no span and on entries outside [ent_lo, ent_hi)
     (neighbor tiles' entries in boundary blocks).
 
-    ``rt2`` (row packing, PACK_ROWS=2): a SECOND record block whose
-    entries are binned to the BOTTOM half of the tile's rows. Sublanes
-    [0, tile_h/2) take every field from ``rt`` and sublanes
-    [tile_h/2, tile_h) from ``rt2`` — slot e of the span scratch then
-    carries TWO entries on disjoint row strips, so every stage-B
-    (C, R, W) fragment op serves two entries with NO merge step (the
-    mechanism that killed column split packing — sub-bin lane-select
-    trees — does not exist here: rows are the sublane axis and every
-    quantity is already stored per (entry, row)). Per-entry math is the
-    single-block form verbatim on that entry's sublanes, so values are
-    bit-identical to running the halves unpacked. (ent_lo2, ent_hi2)
-    mask the second block's boundary entries."""
+    ``rt_strips`` (row packing, PACK_ROWS > 1): EXTRA record blocks —
+    stream s's entries are binned to rows [s*strip_h, (s+1)*strip_h) of
+    the tile, strip_h = tile_h / n_streams. Sublanes of strip 0 take
+    every field from ``rt`` and strip s > 0 from ``rt_strips[s-1]`` —
+    slot e of the span scratch then carries n_streams entries on
+    disjoint row strips, so every stage-B (C, R, W) fragment op serves
+    n_streams entries with NO merge step (the mechanism that killed
+    column split packing — sub-bin lane-select trees — does not exist
+    here: rows are the sublane axis and every quantity is already
+    stored per (entry, row)). Per-entry math is the single-block form
+    verbatim on that entry's sublanes, so values are bit-identical to
+    running the strips unpacked. ``ent_strips`` holds the extra blocks'
+    (ent_lo, ent_hi) boundary-entry masks."""
     e_n = rt.shape[1]
-    if rt2 is not None:
-        strip = jax.lax.broadcasted_iota(jnp.int32, (tile_h, 1), 0)
-        top = strip < (tile_h // 2)
+    rts = [rt] + list(rt_strips)
+    n_streams = len(rts)
+    if n_streams > 1:
+        strip_h = tile_h // n_streams
+        sidx = jax.lax.broadcasted_iota(jnp.int32, (tile_h, 1), 0) // strip_h
+
+    def strip_select(vals):
+        # vals[s] applies on strip s's sublanes; a linear select chain
+        # (for n_streams == 2 this is exactly the old single where).
+        out = vals[-1]
+        for s in range(n_streams - 2, -1, -1):
+            out = jnp.where(sidx < (s + 1), vals[s], out)
+        return out
 
     def field(e, j):
-        row = rt[e * EDGE_STRIDE + j, :][None, :]  # (1, E)
-        if rt2 is None:
-            return row
-        return jnp.where(top, row, rt2[e * EDGE_STRIDE + j, :][None, :])
+        if n_streams == 1:
+            return rt[e * EDGE_STRIDE + j, :][None, :]  # (1, E)
+        return strip_select(
+            [r[e * EDGE_STRIDE + j, :][None, :] for r in rts]
+        )
 
     yf = yf_col  # (R, 1)
 
@@ -957,9 +969,11 @@ def _stage_a_fill(scr_ref, rt, yf_col, ent_lo, ent_hi, w_f, fields,
         + act[2].astype(jnp.int32)
     )
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, e_n), 1)
-    if rt2 is not None:
-        ent_lo = jnp.where(top, ent_lo, ent_lo2)  # (tile_h, 1)
-        ent_hi = jnp.where(top, ent_hi, ent_hi2)
+    if n_streams > 1:
+        ent_lo = strip_select(
+            [ent_lo] + [lo for lo, _ in ent_strips]
+        )  # (tile_h, 1)
+        ent_hi = strip_select([ent_hi] + [hi for _, hi in ent_strips])
     span_ok = (nact >= 2) & (lane >= ent_lo) & (lane < ent_hi)
 
     # Span setup (projekt.cpp:306-421, closed form — identical op order to
@@ -996,8 +1010,8 @@ def _stage_a_fill(scr_ref, rt, yf_col, ent_lo, ent_hi, w_f, fields,
     for i, q in enumerate(quants):
         scr_ref[:, i * tile_h:(i + 1) * tile_h] = jnp.transpose(q)
     gid_row = rt[GID_LANE, :][None, :]
-    if rt2 is not None:
-        gid_row = jnp.where(top, gid_row, rt2[GID_LANE, :][None, :])
+    if n_streams > 1:
+        gid_row = strip_select([r[GID_LANE, :][None, :] for r in rts])
     scr_ref[:, gid_lane:gid_lane + tile_h] = jnp.transpose(
         jnp.broadcast_to(gid_row, (tile_h, e_n))
     )
@@ -1862,7 +1876,7 @@ def _raster_kernel_queue_shaded(wi_tile, starts, counts, item_ext, lcounts,
     over every tile in a second kernel and re-ran finalize (two
     full-frame shades)."""
     assert split == 1 or rows_packed == 1, "col/row packing are exclusive"
-    assert rows_packed in (1, 2), rows_packed
+    assert rows_packed in (1, 2, 4), rows_packed
     streams = max(split, rows_packed)
     if streams > 1:
         assert wide, "split/row binning requires the wide stage-A path"
@@ -1970,11 +1984,12 @@ def _raster_kernel_queue_shaded(wi_tile, starts, counts, item_ext, lcounts,
                 origin[0] + ty * tile_h
                 + jax.lax.broadcasted_iota(jnp.int32, (tile_h, 1), 0)
             ).astype(F32)
-            (lo_a, hi_a, _va), (lo_b, hi_b, _vb) = bounds
-            _stage_a_fill(spanex_ref, jnp.transpose(rec_refs[0][0]),
-                          yf_col, lo_a, hi_a, w_f, fields, tile_h,
-                          rt2=jnp.transpose(rec_refs[1][0]),
-                          ent_lo2=lo_b, ent_hi2=hi_b)
+            _stage_a_fill(
+                spanex_ref, jnp.transpose(rec_refs[0][0]), yf_col,
+                bounds[0][0], bounds[0][1], w_f, fields, tile_h,
+                rt_strips=[jnp.transpose(r[0]) for r in rec_refs[1:]],
+                ent_strips=[(lo, hi) for (lo, hi, _v) in bounds[1:]],
+            )
 
         def sub_body(sub, _):
             rec = spanex_ref[pl.ds(sub * CHUNK_T, CHUNK_T), :]
@@ -2257,7 +2272,7 @@ def rasterize_scene_shaded(
         # bit-identical).
         wide = tile_h <= 8
         assert PACK_SPLIT in (1, 2, 4, 8, 16), PACK_SPLIT
-        assert PACK_ROWS in (1, 2), PACK_ROWS
+        assert PACK_ROWS in (1, 2, 4), PACK_ROWS
         split = PACK_SPLIT if wide else 1
         rows = (
             PACK_ROWS
@@ -2269,7 +2284,12 @@ def rasterize_scene_shaded(
             else 1
         )
         if rows > 1:
-            budget_factor = budget_factor * PACK_ROWS_STREAM_FRAC
+            # Per-stream budget; FRAC is calibrated for 2 streams and
+            # scales inversely with the stream count (each parity holds
+            # ~1/rows of the entries, same imbalance headroom).
+            budget_factor = budget_factor * PACK_ROWS_STREAM_FRAC * (
+                2.0 / rows
+            )
         streams = max(split, rows)
         blk = WIDE_BLK if wide else QUEUE_BLK
         qbins = bin_triangles_queue(

@@ -154,7 +154,7 @@ def stage_breakdown(obj, cfg, transform, lights, height: int, width: int,
         else 1
     )
     if rows > 1:
-        bf = bf * rp.PACK_ROWS_STREAM_FRAC
+        bf = bf * rp.PACK_ROWS_STREAM_FRAC * (2.0 / rows)
     blk = rp.WIDE_BLK if wide else rp.QUEUE_BLK
     _tx = -(-width // rp.TILE_W)
     bin_w = rp.TILE_W // split
