@@ -41,9 +41,12 @@ def _merge_stats(stats: dict | None, rstats: dict) -> None:
 
     Counters (drops, real entries) sum across draws; budget utilization
     takes the max (it is per-stream-budget relative, so the scene's
-    binding constraint is its worst draw); the policy budget factor is
-    that of the max-utilization draw, so the pair feeds
-    calibrate_budget_factor directly."""
+    binding constraint is its worst draw); 'bins_budget_factor' keeps the
+    MAX policy factor over all draws (conservative for headroom) and
+    'bins_budget_factor_min' the MIN, so calibrate_budget_factor can
+    clamp its global suggestion below EVERY draw's policy factor — a
+    suggestion above the min would loosen the tight-policy draws' budget
+    (larger gather/work-item grid) in mixed-policy scenes."""
     if stats is None:
         return
     stats["bins_dropped"] = (
@@ -59,12 +62,15 @@ def _merge_stats(stats: dict | None, rstats: dict) -> None:
     if prev is None:
         stats["bins_budget_utilization"] = util
         stats["bins_budget_factor"] = rstats["bins_budget_factor"]
+        stats["bins_budget_factor_min"] = rstats["bins_budget_factor"]
     else:
         stats["bins_budget_utilization"] = jnp.maximum(prev, util)
-        # Trace-time constant; scenes mixing policies keep the larger
-        # factor (conservative for calibration).
+        # Trace-time constants; scenes mixing policies keep both extremes.
         stats["bins_budget_factor"] = max(
             stats["bins_budget_factor"], rstats["bins_budget_factor"]
+        )
+        stats["bins_budget_factor_min"] = min(
+            stats["bins_budget_factor_min"], rstats["bins_budget_factor"]
         )
 
 
@@ -452,9 +458,12 @@ def calibrate_budget_factor(
     closed vs the 1.2 default). jit forbids a dynamic budget, so the
     production escape hatch is: render ONE representative frame here,
     read the realized max-stream utilization, and return
-    ``used_factor * utilization * margin`` (clamped to the default — the
-    suggestion only ever tightens). Returns None when the scene never
-    used a stream budget (mask strategy / empty scene).
+    ``max_factor * utilization * margin`` clamped to the MINIMUM policy
+    factor across the scene's draws — the OVERRIDE is global, so the
+    clamp guarantees the suggestion never loosens any draw's budget
+    (a mixed-policy scene clamped only to the max factor could loosen
+    its tight-policy draws). Returns None when the scene never used a
+    stream budget (mask strategy / empty scene).
 
     Apply via ``raster_pallas.BUDGET_FACTOR_OVERRIDE = value`` (a
     trace-time constant: set it BEFORE the first jit of the frame
@@ -470,6 +479,7 @@ def calibrate_budget_factor(
         return None
     util = float(stats["bins_budget_utilization"])
     used = float(stats["bins_budget_factor"])
+    used_min = float(stats["bins_budget_factor_min"])
     if util <= 0.0:
         return None
-    return min(used, used * util * margin)
+    return min(used_min, used * util * margin)

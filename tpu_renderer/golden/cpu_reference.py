@@ -38,9 +38,17 @@ Documented divergences from the reference binary (SURVEY.md §2.1, §7):
 8. Backend rounding: the JAX path is written with the identical op order,
    but compilers may still deviate by <=1 ulp per op — this XLA CPU build
    contracts a+b*c into FMA (no flag disables it), and TPU hardware divides
-   via Newton iteration. Measured effect on the BASELINE configs: packed
-   ARGB color bit-exact on >99.8% of pixels, depth within 1 ulp everywhere
-   except <0.5% razor-edge boundary/tie flips (see tests/test_parity_jax.py).
+   via Newton iteration, so the error compounds along long spans. The
+   SHIPPED on-chip contract (bench.py::run_parity, same budgets as the
+   CPU-backend suite) is RELATIVE, not ulp-counted: depth within rtol
+   1e-6 on >=99.5% of co-covered pixels (99% on the multi-object config,
+   whose near-coplanar intersections flip winners), coverage flips
+   <=0.2%, packed ARGB color mismatch <=1%. Raw >1-ulp depth fractions
+   measured on the real chip run 0.01% (curved meshes) up to ~3-6% on
+   long flat spans (measurements/r3/parity.log) — within the rtol budget;
+   raw ulp counts also explode spuriously for z near 0 where absolute
+   deltas are ~1e-9. tests/test_parity_jax.py holds the CPU backend to
+   the same relative budgets.
 
 The reference's broken untextured non-Phong AVX pack (projekt.cpp:1459-1467)
 is NOT reproduced; the scalar Gouraud path is canonical (SURVEY §2.1 "bugs").

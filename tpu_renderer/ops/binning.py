@@ -404,34 +404,34 @@ def _bin_queue_rows(
     bbox, height, width, tile_h, tile_w, blk, budget_factor,
     large_capacity, row0, col0, row_split, visit_empty,
 ):
-    """Two-stream strip binning for row packing (PACK_ROWS).
+    """Per-parity strip binning for row packing (PACK_ROWS; rs =
+    row_split streams).
 
-    Entries are binned to (tile_h/row_split)-row strips and split into
-    one stream per strip PARITY (top halves / bottom halves of the
-    framebuffer tiles), each independently expanded, keyed by
-    FRAMEBUFFER tile, sorted, and budgeted:
+    Entries are binned to (tile_h/rs)-row strips and split into one
+    stream per strip PARITY (strip index mod rs within the framebuffer
+    tile), each independently expanded, keyed by FRAMEBUFFER tile,
+    sorted, and budgeted:
 
     - Each stream needs only 2 expansion slots per triangle (a triangle
       small enough to pack spans at most 2 same-parity strips x 2 tile
-      columns -> but only ceil(strips/2) of them per parity), so the two
-      sorts total 2 * 2T keys vs the single-stream flow's 4T — and the
-      key packs (fb_tile, tri) into u32 at the UNSPLIT tile count
-      (doubling the bin count overflowed the packed key at 2M triangles
-      and fell back to the ~1.5x pair sort: .ab_rows.py round 3).
-    - A tile's top range and bottom range live in different stream
-      REGIONS, so their block offsets are independent — the packed
-      kernel's lockstep walk actually overlaps the two runs. (The first
-      row-packing layout numbered strips adjacently in ONE stream; a
-      tile's halves then occupied disjoint lane ranges of the same
-      blocks and slots almost never carried two real entries — the
-      .ab_rows.py wash/loss.)
+      columns), so the rs sorts total rs * 2T keys vs a single-stream
+      flow's 2*rs*T — and the key packs (fb_tile, tri) into u32 at the
+      UNSPLIT tile count (multiplying the bin count by rs overflowed the
+      packed key at 2M triangles and fell back to the ~1.5x pair sort:
+      .ab_rows.py round 3).
+    - A tile's rs strip ranges live in different stream REGIONS, so
+      their block offsets are independent — the packed kernel's lockstep
+      walk actually overlaps the runs. (The first row-packing layout
+      numbered strips adjacently in ONE stream; a tile's halves then
+      occupied disjoint lane ranges of the same blocks and slots almost
+      never carried two real entries — the .ab_rows.py wash/loss.)
 
-    The streams are CONCATENATED (side B offset by its budget) with
-    starts/counts interleaved at 2*tile + side, so the split kernel's
+    The streams are CONCATENATED (stream s offset by s budgets) with
+    starts/counts interleaved at rs*tile + side, so the split kernel's
     indexing and index maps apply verbatim.
 
     ``budget_factor`` is per STREAM: each side keeps budget_factor * T
-    entries (halves are statistically balanced; a pathological mesh
+    entries (parities are statistically balanced; a pathological mesh
     binning everything into one parity drops-and-counts, and
     BUDGET_FACTOR_OVERRIDE remains the escape hatch).
     """
@@ -710,6 +710,7 @@ def bin_triangles_queue(
     entry_budget = min(entry_budget, -(-(T * expansion) // blk) * blk)
 
     compact_drops = jnp.zeros((), jnp.int32)
+    precompact_real = None
     if COMPACT_ENTRIES:
         keepm = entry_tile < ntiles
         # A triangle's kept slots are a prefix (slot_ok = j < n_tiles), so
@@ -719,8 +720,8 @@ def bin_triangles_queue(
         kept_n = jnp.where(small, n_tiles, 0)
         base = jnp.cumsum(kept_n) - kept_n  # exclusive, (T,)
         pos = (base[None, :] + j).reshape(-1)  # slot-major, matches entries
-        n_real = base[-1] + kept_n[-1]
-        compact_drops = jnp.maximum(n_real - entry_budget, 0)
+        precompact_real = base[-1] + kept_n[-1]
+        compact_drops = jnp.maximum(precompact_real - entry_budget, 0)
         tgt = jnp.where(keepm & (pos < entry_budget), pos, entry_budget)
         entry_tile = jnp.full(
             (entry_budget + 1,), ntiles, jnp.int32
@@ -765,7 +766,12 @@ def bin_triangles_queue(
             sorted_tile, jnp.arange(ntiles + 1, dtype=jnp.int32),
             side="left",
         ).astype(jnp.int32)
-    total_real = starts_full[ntiles]
+    # Under COMPACT_ENTRIES the sort input was already clipped to the
+    # budget, so starts_full[ntiles] understates real demand exactly when
+    # it overflows — report the pre-clip count so n_real / budget_util
+    # describe the scene, not the clip.
+    total_real = (precompact_real if precompact_real is not None
+                  else starts_full[ntiles])
 
     # The sorted prefix [0, EB) is kept verbatim as the record layout;
     # real entries past it (sentinel-tile entries sort last, so the
@@ -773,7 +779,10 @@ def bin_triangles_queue(
     # COMPACT_ENTRIES the clip already happened pre-sort (compact_drops).
     starts = jnp.minimum(starts_full, entry_budget)  # (ntiles + 1,) clipped
     keep_t = starts[1:] - starts[:-1]
-    entry_drops = jnp.maximum(total_real - entry_budget, 0) + compact_drops
+    # compact_drops IS the budget overflow when compaction pre-clipped the
+    # sort input (total_real - budget would double-count it).
+    entry_drops = (compact_drops if precompact_real is not None
+                   else jnp.maximum(total_real - entry_budget, 0))
     sorted_tri = jax.lax.slice(
         jnp.pad(sorted_tri, (0, max(0, entry_budget - sorted_tri.shape[0]))),
         (0,), (entry_budget,),

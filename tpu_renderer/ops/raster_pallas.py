@@ -2286,7 +2286,13 @@ def rasterize_scene_shaded(
         if rows > 1:
             # Per-stream budget; FRAC is calibrated for 2 streams and
             # scales inversely with the stream count (each parity holds
-            # ~1/rows of the entries, same imbalance headroom).
+            # ~1/rows of the entries). CAVEAT (rows == 4, non-default):
+            # halving strip_h (4 -> 2 rows) inflates strip-straddle
+            # entries, so 4-stream parities carry MORE than 1/2 of a
+            # 2-stream parity's load and get LESS than the calibrated
+            # ~2.2x headroom — drops stay counted (never silent), but
+            # A/B the realized per-stream demand (stats
+            # 'bins_budget_utilization') before shipping rows=4.
             budget_factor = budget_factor * PACK_ROWS_STREAM_FRAC * (
                 2.0 / rows
             )
