@@ -270,3 +270,51 @@ def test_tile_height_policy_is_area_relative():
     assert rp._pick_tile_h(2208, 1080, 1920) == 16
     # Dense 1080p scenes stay fine.
     assert rp._pick_tile_h(40000, 1080, 1920) == 8
+
+
+@pytest.mark.parametrize("rows", [1, 2])
+def test_zcull_blocks_bit_exact(rows):
+    """ZCULL_BLOCKS (occlusion block-skip) must be bit-exact vs the
+    un-culled fold on a scene built to FIRE it: a near sphere submitted
+    first fully covers its tiles, then a far (occluded) sphere's blocks
+    arrive with max z below every tile's min winning z. The skip is
+    output-preserving by construction (strict '>' + first-writer ties);
+    this pins the margin arithmetic and the scratch-read plumbing."""
+    from tpu_renderer.core.types import make_object
+    from tpu_renderer.geometry.vertex import concat_edge_tables
+    from tpu_renderer.models.sphere import construct_sphere
+
+    sg, tr_d, li_d = scenes.baseline_scene(4, H, W)
+    scene_j, tr, li = scenes.to_jax_scene(sg, tr_d, li_d)
+    cfg = ObjectConfig(phong=True)
+    mesh = construct_sphere()
+    near = make_object((0.0, 0.0, 0.6), **mesh)
+    far = make_object((0.0, 0.0, -0.9), **mesh)
+    edges = concat_edge_tables([
+        setup_triangles(near, tr, li, cfg),
+        setup_triangles(far, tr, li, cfg),
+    ])
+
+    outs = {}
+    orig_z, orig_r, orig_g = (
+        rp.ZCULL_BLOCKS, rp.PACK_ROWS, rp.PACK_ROWS_MAX_PX_PER_TRI,
+    )
+    try:
+        rp.PACK_ROWS = rows
+        rp.PACK_ROWS_MAX_PX_PER_TRI = 10 ** 9  # force the rows gate open
+        for zcull in (False, True):
+            rp.ZCULL_BLOCKS = zcull
+            cov, z, col, stats = rp.rasterize_pallas_shaded(
+                edges, tr, li, True, H, W, strategy="sorted", tile_h=8
+            )
+            assert int(stats["bins_dropped"]) == 0
+            outs[zcull] = (np.asarray(cov), np.asarray(z), np.asarray(col))
+    finally:
+        rp.ZCULL_BLOCKS = orig_z
+        rp.PACK_ROWS, rp.PACK_ROWS_MAX_PX_PER_TRI = orig_r, orig_g
+    for a, b in zip(outs[False], outs[True]):
+        np.testing.assert_array_equal(a, b)
+    assert outs[False][0].any()
+    # The far sphere must actually be occluded somewhere (the scene
+    # exercises the skip, not just compiles it).
+    assert outs[False][1].max() > 0.0

@@ -233,6 +233,27 @@ PACK_ROWS_STREAM_FRAC = 0.45
 # compile, .ab_split.py round 3 — so it is a CPU-only curiosity).
 SPLIT_MERGE = "tree"
 
+# Occlusion block-skip in the wide kernels: before a work item's chunk
+# loop, compare the record block's conservative max interpolated z
+# (endpoint z of every entry span, from the stage-A scratch) against the
+# tile's current MINIMUM winning z; when even the block's closest
+# fragment cannot beat the farthest already-won pixel, the whole chunk
+# loop is skipped. EXACTLY output-preserving with no reordering: a
+# skipped entry's z is <= block_zmax <= tile_minz <= every pixel's
+# current winner, and the depth rule is strict '>' with first-writer
+# ties (projekt.cpp:495) — equal z loses to the resident winner anyway.
+# A 1e-6 relative safety margin absorbs any 1-ulp divergence between
+# this bound's arithmetic and the fold's (e.g. differing FMA
+# contraction); the margin only ever FORFEITS skips, never wrongly
+# takes one. tile_minz stays DEPTH_CLEAR until every pixel of the tile
+# is covered, so the skip fires only on fully-covered tiles — occluded
+# geometry submitted after nearer geometry (painter's-order scenes,
+# depth-complex interiors). Default OFF until the hardware A/B
+# (.ab_zcull.py — single-layer sphere where it cannot fire, and a deep
+# front-to-back sphere stack where it should) records a win; the
+# verdict goes here either way.
+ZCULL_BLOCKS = False
+
 # Stage-B chunk-fold form in the wide (spanex) kernels: False = direct
 # (evaluate every slot's attribute fragment planes and fold them slot by
 # slot — the measured-safe default), True = deferred (fold only z + the
@@ -1820,6 +1841,29 @@ def _raster_kernel_tilelist_shaded(count_ref, origin_ref, params_ref,
                       tex_ref)
 
 
+def _spanex_block_zmax(spanex_refs, tile_h):
+    """Conservative max interpolated z over every entry of a work item's
+    span-expanded record block(s) (ZCULL_BLOCKS).
+
+    z is linear in the pixel index k and f32 rounding is monotone, so
+    each (entry, row) span's z extrema lie at its endpoints mlo/mhi —
+    evaluated here with the fold's own formula (z = zl + k * zinc,
+    k = xoff + (xc - minx)). Rows with no span (and boundary-block
+    entries outside the tile's range) carry mhi = -BIG from stage A and
+    are masked out."""
+    th = tile_h
+    zm = None
+    for r in spanex_refs:
+        q = lambda i: r[:, i * th:(i + 1) * th]  # (E, th)
+        minx, mlo, mhi, xoff, zl, zinc = (q(i) for i in range(SPANEX_QBASE))
+        z_lo = zl + (xoff + (mlo - minx)) * zinc
+        z_hi = zl + (xoff + (mhi - minx)) * zinc
+        ok = mhi > F32(-_BIG) * F32(0.5)
+        z = jnp.where(ok, jnp.maximum(z_lo, z_hi), F32(-_BIG))
+        zm = z if zm is None else jnp.maximum(zm, z)
+    return jnp.max(zm)
+
+
 def _half_block_bounds(starts, counts, bin_idx, ci, blk):
     """Dual-bin helper: (block-local ent_lo, ent_hi, has-entries) of one
     bin half's ``ci``-th record block, with ci clamped into the half's
@@ -2031,6 +2075,15 @@ def _raster_kernel_queue_shaded(wi_tile, starts, counts, item_ext, lcounts,
 
     if streams == 1:
         sub_lo, sub_hi = chunk_span(head, n, n > head)
+    if ZCULL_BLOCKS and wide:
+        # Occlusion block-skip (flag comment above): zero the chunk loop
+        # when even the block's closest fragment cannot strictly beat the
+        # tile's farthest already-won pixel. The relative margin forfeits
+        # skips near 1-ulp boundaries, never wrongly takes one.
+        tile_minz = jnp.min(z_ref[:])
+        zmax = _spanex_block_zmax(spanex_refs, tile_h)
+        cannot_win = (zmax + jnp.abs(zmax) * F32(1e-6)) < tile_minz
+        sub_hi = jnp.where(cannot_win, sub_lo, sub_hi)
     jax.lax.fori_loop(sub_lo, sub_hi, sub_body, 0)
 
     nwi = item_ext[tile + 1] - item_ext[tile]
