@@ -67,10 +67,11 @@ def measure_tpu_fps(config: int, height: int, width: int,
     TIME-TARGETED, like measure_cpu_fps: the single synchronized host
     fetch that forces the chained scan costs a FIXED ~34 ms through the
     tunnel, which at the old fixed iters=60 put a ~0.57 ms/frame additive
-    floor under every number — sub-ms configs (1 and 3 at 512^2) measured
-    3-10x slower than they run and "lost" to the CPU on fetch latency the
-    renderer never pays (r4 probe: config 1 fit 0.18 ms/frame real vs
-    0.59 reported; measurements/r4/probe_floor.log). A first 60-frame
+    floor under every number — sub-ms configs measured several times
+    slower than they run and config 1 "lost" to the CPU on fetch latency
+    the renderer never pays (r4 probe: config 1 fit 0.163 ms/frame real
+    vs 0.595 reported at iters=60, fixed cost ~23-29 ms; config 4 fit
+    1.49 vs 1.94; measurements/r4/probe_floor.log). A first 60-frame
     scan estimates the frame cost, then iters rescales so the batch runs
     >= ~0.7 s (fetch < 5% of total, capped at 4000 frames) and the median
     of 3 timed scans is reported. Nothing is subtracted: the fetch is
