@@ -149,6 +149,7 @@ def test_pack_split_variants_bit_exact(phong):
             (2, "tree", False), (1, "tree", False), (4, "tree", False),
             (16, "tree", False), (8, "repeat", False),
             (1, "tree", True), (16, "repeat", True),
+            (8, "mxu", False), (16, "mxu", False), (16, "mxu", True),
         ):
             rp.PACK_SPLIT, rp.SPLIT_MERGE, rp.FOLD_DEFERRED = (
                 split, merge, deferred,

@@ -213,6 +213,13 @@ PACK_SPLIT = 1
 # — once the two-stream strip binning + 0.45 per-stream budget landed
 # (earlier single-sort/0.75-budget drafts lost at 2M to stream gather
 # and binning overhead; rows_stages_2m.log has the attribution).
+# rows=4 (quarter strips, 4 entries per fragment op) was the round-4
+# candidate to halve stage B again; the hardware A/B KILLED it at every
+# scale (measurements/r4/ab_rows4.log, interleaved, medians of 5,
+# drop-free, checks bit-equal): 30.2 vs 27.2 ms @500k, 77.9 vs 73.1
+# @2M, 179.1 vs 149.1 @4M — the two extra per-parity sorts (4 x 2T keys
+# vs 2 x 2T) plus doubled stream walking cost more than the shared
+# fragment ops save on this VPU.
 PACK_ROWS = 2
 PACK_ROWS_MAX_PX_PER_TRI = 6
 # Per-STREAM entry budget under row packing, as a fraction of the dense
@@ -228,9 +235,22 @@ PACK_ROWS_MAX_PX_PER_TRI = 6
 PACK_ROWS_STREAM_FRAC = 0.45
 
 # How the split kernel merges sub-bin quantity planes: 'tree' (lane-select
-# tree) or 'repeat' (minor-axis stack + lane repeat; bit-equal in
+# tree), 'repeat' (minor-axis stack + lane repeat; bit-equal in
 # interpret mode but REJECTED by Mosaic on real TPU — MosaicError at
-# compile, .ab_split.py round 3 — so it is a CPU-only curiosity).
+# compile, .ab_split.py round 3 — so it is a CPU-only curiosity), or
+# 'mxu' (ONE block-diagonal expander matmul merges EVERY quantity plane
+# of the chunk at once): stack the S sub-bin chunk slices (C, L) on a
+# minor axis, reshape to (C*L, S), and multiply by the constant 0/1
+# expander E[s, w] = [w // sub_w == s] — output row (c, l) lane w is
+# exactly sub-bin (w // sub_w)'s value, i.e. the tree's result, computed
+# on the MXU instead of ~(S-1) VPU selects per plane. Exact: each output
+# element is one f32 value * 1.0 plus zeros (any per-pass bf16
+# decomposition of x*1.0 + 0 reproduces x bit-exactly; the kernel
+# requests HIGHEST precision), so outputs stay bit-equal (tested). The
+# round-3 verdict killed 'tree' split packing because the merge cost
+# grew with S; 'mxu' makes the merge O(1) vector ops + one matmul, so it
+# re-opens the split-packing question at large S — decided by .ab_mxu.py
+# on hardware.
 SPLIT_MERGE = "tree"
 
 # Occlusion block-skip in the wide kernels: before a work item's chunk
@@ -1108,6 +1128,66 @@ def _chunk_best_spanex_split(recs, xc, sub_w, n_fields, tile_h, tile_w):
     bit-equal (tested)."""
     split = len(recs)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, tile_w), 2)
+
+    if SPLIT_MERGE == "mxu" and split > 1:
+        # One expander matmul merges EVERY plane of the chunk (flag
+        # comment at SPLIT_MERGE): stacked[c, l, s] @ E[s, w] places
+        # sub-bin s's (slot, lane-l) value on its sub_w output lanes.
+        C = recs[0].shape[0]
+        _, gl, _ = _spanex_layout(n_fields, tile_h)
+        L = gl + tile_h  # consumed lanes only (drop the 128-pad tail)
+        stacked = jnp.stack([r[:, :L] for r in recs], axis=-1)  # (C, L, S)
+        # Masked (entry, row) span lanes legitimately hold NaN/Inf from
+        # degenerate-span arithmetic (e.g. (zr - zl) / xd at xd = Inf);
+        # the tree select never READS them, but here NaN * 0 = NaN would
+        # poison every other sub-bin's output lanes through the matmul's
+        # sum. Zeroing non-finite operands is output-exact: a lane whose
+        # own sub-bin value was non-finite is one whose span mask (mhi =
+        # -BIG, always finite) already excludes it from the fold.
+        stacked = jnp.where(jnp.isfinite(stacked), stacked, F32(0.0))
+        E = (
+            jax.lax.broadcasted_iota(jnp.int32, (split, tile_w), 1)
+            // sub_w
+            == jax.lax.broadcasted_iota(jnp.int32, (split, tile_w), 0)
+        ).astype(F32)
+        merged = jax.lax.dot_general(
+            stacked.reshape(C * L, split), E,
+            (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        ).reshape(C, L, tile_w)
+        _, gid_lane_m, _ = _spanex_layout(n_fields, tile_h)
+
+        def m3(i):
+            return merged[:, i * tile_h:(i + 1) * tile_h, :]
+
+        minx, mlo, mhi, xoff, zl, zinc = (m3(i) for i in range(SPANEX_QBASE))
+        inspan = (xc >= mlo) & (xc <= mhi)
+        k = xoff + (xc - minx)
+        zfrag = zl + k * zinc
+        gids = merged[
+            :, gid_lane_m:gid_lane_m + tile_h, :
+        ].astype(jnp.int32)
+        if FOLD_DEFERRED:
+            best_z, best_i, best_s = _fold_chunk_z(inspan, zfrag, gids,
+                                                   tile_h, tile_w)
+            masks = _slot_masks(best_s, CHUNK_T)
+            k_sel = _slot_select(masks, [k[c] for c in range(CHUNK_T)])
+            best_a = []
+            for i in range(n_fields):
+                al = m3(SPANEX_QBASE + 2 * i)
+                inc = m3(SPANEX_QBASE + 2 * i + 1)
+                al_s = _slot_select(masks, [al[c] for c in range(CHUNK_T)])
+                inc_s = _slot_select(
+                    masks, [inc[c] for c in range(CHUNK_T)]
+                )
+                best_a.append(al_s + k_sel * inc_s)
+            return best_z, best_i, best_a
+        frags = [
+            m3(SPANEX_QBASE + 2 * i) + k * m3(SPANEX_QBASE + 2 * i + 1)
+            for i in range(n_fields)
+        ]
+        return _fold_chunk(inspan, zfrag, frags, gids, n_fields, tile_h,
+                           tile_w)
 
     def tree(parts, lo, width):
         # Binary select tree over the sub-bins' (C, R, 1) planes.
