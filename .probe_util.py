@@ -36,7 +36,7 @@ def one(obj, transform, lights):
     )
 
 
-for lat, lon in ((1000, 1001), (1415, 1416)):
+for lat, lon in ((420, 420), (500, 500), (594, 595), (707, 708), (1000, 1001), (1415, 1416)):
     obj = jax.device_put(
         make_object((0.0, 0.0, 0.0), **construct_sphere_grid(lat, lon))
     )

@@ -319,3 +319,28 @@ def test_zcull_blocks_bit_exact(rows):
     # The far sphere must actually be occluded somewhere (the scene
     # exercises the skip, not just compiles it).
     assert outs[False][1].max() > 0.0
+
+
+def test_rows_stream_budget_density_policy():
+    """The density-aware per-stream budget: never looser than the flat
+    0.54T budget, monotone in px/triangle, >= 2x the measured demand at
+    every probed point (measurements/r4/probe_util3.log), and exactly
+    the flat budget above the rows gate."""
+    f = rp._rows_stream_budget_factor
+    px = 1080 * 1920
+    # Probed (T, real_per_stream/T) pairs from the r4 sweep.
+    probed = [
+        (352800, 0.272), (500000, 0.248), (706860, 0.222),
+        (1001112, 0.191), (2002000, 0.134), (4007280, 0.095),
+    ]
+    for T, demand in probed:
+        b = f(T, 1080, 1920)
+        assert b <= 0.54 + 1e-9
+        assert b >= 2.0 * demand * 0.98, (T, b, demand)
+    # Monotone in px/tri (denser -> tighter).
+    vals = [f(T, 1080, 1920) for T, _ in probed]
+    assert vals == sorted(vals, reverse=True)
+    # Sparse scenes (above the gate) keep the flat budget.
+    assert f(100000, 1080, 1920) == 0.54
+    # Ultra-dense floor.
+    assert f(20_000_000, 1080, 1920) == pytest.approx(0.19)

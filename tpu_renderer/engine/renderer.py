@@ -469,7 +469,15 @@ def calibrate_budget_factor(
     trace-time constant: set it BEFORE the first jit of the frame
     function). Drops remain counted in stats['bins_dropped'] — if a
     later frame of the family overflows the tightened budget, re-run
-    calibration on that frame; nothing is ever silently lost."""
+    calibration on that frame; nothing is ever silently lost.
+
+    NOTE: since round 4 the rows-packed DEFAULT budget is already
+    density-scaled (~2x measured demand,
+    raster_pallas._rows_stream_budget_factor), so on very dense scenes
+    an override computed from utilization may be LOOSER than the
+    default it replaces — only apply the suggestion when it is smaller
+    than the realized default (compare stats['bins_budget_utilization']
+    against 1 / margin)."""
     stats: dict = {}
     render_scene(
         None, list(scene), transform, lights, backend="pallas",

@@ -229,10 +229,43 @@ PACK_ROWS_MAX_PX_PER_TRI = 6
 # The budget drives BOTH the stream gather length and the static
 # work-item grid bound, so headroom is paid per frame: 0.75 measured
 # +28 ms of stream gather at 2M (measurements/r3/rows_stages_2m.log).
-# 0.45 gives each stream ~2.2x headroom over the balanced half at the
-# densest probed mesh; pathological single-parity meshes drop-and-count
-# (BUDGET_FACTOR_OVERRIDE remains the escape hatch).
+# 0.45 gives each stream ~2.2x headroom at the rows-gate edge; used
+# verbatim under BUDGET_FACTOR_OVERRIDE (the escape hatch's semantics
+# are unchanged). The DEFAULT budget is density-aware instead — see
+# _rows_stream_budget_factor.
 PACK_ROWS_STREAM_FRAC = 0.45
+
+
+def _rows_stream_budget_factor(t_policy, frame_height, frame_width):
+    """Per-stream budget factor (fraction of T) for the rows-packed
+    streams, scaled to scene DENSITY.
+
+    Real per-stream demand falls with px/triangle — sub-pixel triangles
+    whose rounded row span is empty bin NO entries, and at 1 px/tri
+    only ~27% of triangles produce one (r4 utilization sweep,
+    measurements/r4/probe_util3.log: real/stream/T = 0.272 / 0.248 /
+    0.222 / 0.191 / 0.134 / 0.095 at 5.9 / 4.2 / 2.9 / 2.1 / 1.0 / 0.5
+    px/tri on 1080p sphere grids). The flat 0.54T per-stream budget was
+    therefore ~4x oversized at 2M triangles, and the budget's length is
+    paid every frame as stream-gather rows + work-item grid bound.
+    This returns a piecewise-linear interpolation of 2x the measured
+    demand, clamped to the flat budget above the gate (never looser),
+    with a floor for ultra-dense scenes. Unusual meshes (extreme strip
+    straddle, single-parity pathologies) can exceed it: drops are
+    counted, never silent, and BUDGET_FACTOR_OVERRIDE / the
+    calibrate_budget_factor API remain the escape hatches."""
+    ppt = (frame_height * frame_width) / max(t_policy, 1)
+    pts = (  # (px/tri, per-stream budget = 2x measured demand)
+        (0.52, 0.19), (1.04, 0.268), (2.07, 0.382),
+        (2.93, 0.444), (4.15, 0.496), (5.88, 0.544),
+    )
+    flat = 0.54  # the pre-round-4 flat budget: 1.2 * 0.45 per stream
+    if ppt <= pts[0][0]:
+        return pts[0][1]
+    for (x0, y0), (x1, y1) in zip(pts, pts[1:]):
+        if ppt <= x1:
+            return min(flat, y0 + (y1 - y0) * (ppt - x0) / (x1 - x0))
+    return flat
 
 # How the split kernel merges sub-bin quantity planes: 'tree' (lane-select
 # tree), 'repeat' (minor-axis stack + lane repeat; bit-equal in
@@ -2417,18 +2450,25 @@ def rasterize_scene_shaded(
             else 1
         )
         if rows > 1:
-            # Per-stream budget; FRAC is calibrated for 2 streams and
-            # scales inversely with the stream count (each parity holds
-            # ~1/rows of the entries). CAVEAT (rows == 4, non-default):
-            # halving strip_h (4 -> 2 rows) inflates strip-straddle
-            # entries, so 4-stream parities carry MORE than 1/2 of a
-            # 2-stream parity's load and get LESS than the calibrated
-            # ~2.2x headroom — drops stay counted (never silent), but
-            # A/B the realized per-stream demand (stats
-            # 'bins_budget_utilization') before shipping rows=4.
-            budget_factor = budget_factor * PACK_ROWS_STREAM_FRAC * (
-                2.0 / rows
-            )
+            if BUDGET_FACTOR_OVERRIDE is not None:
+                # Escape-hatch semantics unchanged: the override is the
+                # pre-frac factor, scaled by the flat per-stream FRAC.
+                # CAVEAT (rows == 4, non-default): halving strip_h
+                # (4 -> 2 rows) inflates strip-straddle entries, so
+                # 4-stream parities carry MORE than 1/2 of a 2-stream
+                # parity's load — drops stay counted; A/B the realized
+                # demand (stats 'bins_budget_utilization') before
+                # shipping rows=4.
+                budget_factor = budget_factor * PACK_ROWS_STREAM_FRAC * (
+                    2.0 / rows
+                )
+            else:
+                # Density-aware default (see _rows_stream_budget_factor:
+                # ~2x measured per-stream demand at the scene's px/tri,
+                # never looser than the old flat budget).
+                budget_factor = _rows_stream_budget_factor(
+                    t_policy, frame_height, frame_width
+                ) * (2.0 / rows)
         streams = max(split, rows)
         blk = WIDE_BLK if wide else QUEUE_BLK
         qbins = bin_triangles_queue(

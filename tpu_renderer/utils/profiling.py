@@ -154,7 +154,12 @@ def stage_breakdown(obj, cfg, transform, lights, height: int, width: int,
         else 1
     )
     if rows > 1:
-        bf = bf * rp.PACK_ROWS_STREAM_FRAC * (2.0 / rows)
+        if rp.BUDGET_FACTOR_OVERRIDE is not None:
+            bf = bf * rp.PACK_ROWS_STREAM_FRAC * (2.0 / rows)
+        else:
+            bf = rp._rows_stream_budget_factor(T, height, width) * (
+                2.0 / rows
+            )
     blk = rp.WIDE_BLK if wide else rp.QUEUE_BLK
     _tx = -(-width // rp.TILE_W)
     bin_w = rp.TILE_W // split
