@@ -281,9 +281,16 @@ def _rows_stream_budget_factor(t_policy, frame_height, frame_width):
 # decomposition of x*1.0 + 0 reproduces x bit-exactly; the kernel
 # requests HIGHEST precision), so outputs stay bit-equal (tested). The
 # round-3 verdict killed 'tree' split packing because the merge cost
-# grew with S; 'mxu' makes the merge O(1) vector ops + one matmul, so it
-# re-opens the split-packing question at large S — decided by .ab_mxu.py
-# on hardware.
+# grew with S; 'mxu' makes the merge O(1) vector ops + one matmul, which
+# re-opened the split-packing question. Hardware verdict (measurements/
+# r4/ab_mxu.log, 1M tris 1080p Phong, interleaved, medians of 5,
+# drop-free, checks bit-equal): still a CRUSHING loss — split 1 control
+# 42.2 ms vs 136.9 (split 4) / 180.6 (split 8); split 16 failed the
+# remote compile. The stacked-operand relayout + col-split binning's
+# pair-sort fallback + per-tile lockstep block multiplication dwarf the
+# fold sharing at every split on this chip. Split packing is dead here
+# in BOTH merge forms; the machinery stays bit-exact-tested for chips
+# where relayout/matmul issue differently.
 SPLIT_MERGE = "tree"
 
 # Occlusion block-skip in the wide kernels: before a work item's chunk
@@ -301,10 +308,14 @@ SPLIT_MERGE = "tree"
 # takes one. tile_minz stays DEPTH_CLEAR until every pixel of the tile
 # is covered, so the skip fires only on fully-covered tiles — occluded
 # geometry submitted after nearer geometry (painter's-order scenes,
-# depth-complex interiors). Default OFF until the hardware A/B
-# (.ab_zcull.py — single-layer sphere where it cannot fire, and a deep
-# front-to-back sphere stack where it should) records a win; the
-# verdict goes here either way.
+# depth-complex interiors). Hardware verdict (measurements/r4/
+# ab_zcull.log; interleaved A/B, medians of 5, checks bit-equal,
+# drop-free): LOSS on a single-layer 4M-tri sphere (170.9 vs 148.3 ms
+# — the cull never fires, and the per-item bound+min-reduce costs
+# ~15%), WIN on a 6-deep front-to-back sphere stack at 2.1M tris
+# (86.2 vs 98.7 ms, -12.7%). The benchmark scenes are single-layer,
+# so the default is OFF; flip it for depth-complex painter's-order
+# workloads.
 ZCULL_BLOCKS = False
 
 # Stage-B chunk-fold form in the wide (spanex) kernels: False = direct
