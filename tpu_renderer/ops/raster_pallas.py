@@ -221,7 +221,13 @@ PACK_SPLIT = 1
 # vs 2 x 2T) plus doubled stream walking cost more than the shared
 # fragment ops save on this VPU.
 PACK_ROWS = 2
-PACK_ROWS_MAX_PX_PER_TRI = 6
+# Rows gate: packing applies at or below this mean px/triangle. Was 6
+# (round 3); the r4 A/B at the 8.3 and 11.5 px/tri points (250k/180k
+# tris at 1080p, measurements/r4/ab_rowsgate.log) measured rows ON
+# winning drop-free and bit-equal at both (17.1 -> 15.9 ms and
+# 13.2 -> 12.95), so the gate widened to 12 — taller triangles above it
+# would overflow the 4-row strip expansion into the large side list.
+PACK_ROWS_MAX_PX_PER_TRI = 12
 # Per-STREAM entry budget under row packing, as a fraction of the dense
 # budget factor: each parity stream holds ~half the entries, with
 # headroom for imbalance (drops stay counted, never silent; measured
