@@ -604,9 +604,15 @@ def pack_texture_atlas(textures):
 
 
 _SAMPLE_SLAB = 8  # pixel rows per one-hot contraction slab
+# Skip the per-slab texture contraction on slabs with no textured
+# coverage (zeros written instead; every consumer selects sampled rgba
+# under tex_mask, so output-exact — tested). A/B'd on hardware
+# (.ab_slabskip.py); flag kept as the probe switch / safety valve.
+SAMPLE_SLAB_SKIP = True
 
 
-def _by_row_slabs(sample_fn, planes, tile_h, tile_w, slab=_SAMPLE_SLAB):
+def _by_row_slabs(sample_fn, planes, tile_h, tile_w, slab=_SAMPLE_SLAB,
+                  need=None):
     """Apply ``sample_fn`` (N (r, W) f32 planes -> 4 (r, W) rgba planes)
     over ``slab``-row slices of the tile, serialized through a fori_loop
     on scoped VMEM refs. Bounds the one-hot contraction intermediates
@@ -618,6 +624,13 @@ def _by_row_slabs(sample_fn, planes, tile_h, tile_w, slab=_SAMPLE_SLAB):
     the allocator to reuse one slab's buffers). Slab order is row order
     and per-element math is untouched, so values are bit-identical.
 
+    ``need`` ((tile_h, tile_w) bool, optional): pixels whose sample is
+    actually consumed (the caller's tex_mask — every consumer selects
+    sampled rgba under it). Slabs with NO needed pixel skip the
+    contraction and write zeros — output-exact, and the dominant cost
+    of sparse textured scenes (config 3's cube covers ~26% of the
+    frame; r4 probe_tex: bilinear sampling was ~1.6 of its 1.8 ms).
+
     All planes ride one f32 ref; integer index planes are exact in f32
     for any atlas dimension <= 2**24, and ``sample_fn`` casts back."""
     if tile_h <= slab:
@@ -627,12 +640,29 @@ def _by_row_slabs(sample_fn, planes, tile_h, tile_w, slab=_SAMPLE_SLAB):
     def scoped(in_ref, out_ref):
         for i, p in enumerate(planes):
             in_ref[i] = p.astype(F32)
+        if need is not None:
+            in_ref[n] = jnp.where(need, F32(1.0), F32(0.0))
 
         def step(s, _):
             rows = pl.ds(s * slab, slab)
-            outs = sample_fn(*(in_ref[i, rows, :] for i in range(n)))
-            for c in range(4):
-                out_ref[c, rows, :] = outs[c]
+
+            def run():
+                outs = sample_fn(*(in_ref[i, rows, :] for i in range(n)))
+                for c in range(4):
+                    out_ref[c, rows, :] = outs[c]
+
+            if need is None:
+                run()
+            else:
+                slab_any = jnp.any(in_ref[n, rows, :] > F32(0.5))
+                pl.when(slab_any)(run)
+
+                @pl.when(jnp.logical_not(slab_any))
+                def _():
+                    for c in range(4):
+                        out_ref[c, rows, :] = jnp.zeros(
+                            (slab, tile_w), F32
+                        )
             return 0
 
         jax.lax.fori_loop(0, tile_h // slab, step, 0)
@@ -640,12 +670,13 @@ def _by_row_slabs(sample_fn, planes, tile_h, tile_w, slab=_SAMPLE_SLAB):
 
     return pl.run_scoped(
         scoped,
-        pltpu.VMEM((n, tile_h, tile_w), F32),
+        pltpu.VMEM((n + (need is not None), tile_h, tile_w), F32),
         pltpu.VMEM((4, tile_h, tile_w), F32),
     )
 
 
-def _sample_texture_atlas(txi, tyi, tex_ref, ah, aw, tile_h, tile_w):
+def _sample_texture_atlas(txi, tyi, tex_ref, ah, aw, tile_h, tile_w,
+                          need=None):
     """Nearest-neighbor texel fetch from the scene atlas as an MXU one-hot
     contraction (TPU per-element gathers measured ~15 ms/frame at 1080p;
     this is ~0.3 ms of bf16 matmul).
@@ -666,7 +697,7 @@ def _sample_texture_atlas(txi, tyi, tex_ref, ah, aw, tile_h, tile_w):
         mid = _row_texels(tyi_s, tex_ref, ah, r, tile_w)
         return _col_pick(txi_s, mid, aw, r, tile_w)
 
-    return _by_row_slabs(one, (txi, tyi), tile_h, tile_w)
+    return _by_row_slabs(one, (txi, tyi), tile_h, tile_w, need=need)
 
 
 def _row_texels(tyi, tex_ref, ah, tile_h, tile_w):
@@ -698,7 +729,7 @@ def _col_pick(txi, mid, aw, tile_h, tile_w):
 
 
 def _sample_texture_atlas_bilinear(txi0, txi1, tyi0, tyi1, fx, fy, tex_ref,
-                                   ah, aw, tile_h, tile_w):
+                                   ah, aw, tile_h, tile_w, need=None):
     """4-texel bilinear fetch from the scene atlas (BASELINE config 3's
     contract): the nearest sampler's one-hot MXU trick twice over rows
     (tyi0, tyi1) and twice over columns (txi0, txi1), then the EXACT lerp
@@ -730,7 +761,7 @@ def _sample_texture_atlas_bilinear(txi0, txi1, tyi0, tyi1, fx, fy, tex_ref,
         return out
 
     return _by_row_slabs(
-        one, (txi0, txi1, tyi0, tyi1, fx, fy), tile_h, tile_w
+        one, (txi0, txi1, tyi0, tyi1, fx, fy), tile_h, tile_w, need=need
     )
 
 
@@ -1523,11 +1554,13 @@ def _finalize_shade(z, gid, planes, origin, ty, tx, params_ref, objspecs,
         if any_bilinear:
             tex_rgba = _sample_texture_atlas_bilinear(
                 txi, txi1, tyi, tyi1, fx, fy, tex_ref, ah, aw, tile_h,
-                tile_w,
+                tile_w, need=tex_mask if SAMPLE_SLAB_SKIP else None,
             )
         else:
-            tex_rgba = _sample_texture_atlas(txi, tyi, tex_ref, ah, aw,
-                                             tile_h, tile_w)
+            tex_rgba = _sample_texture_atlas(
+                txi, tyi, tex_ref, ah, aw, tile_h, tile_w,
+                need=tex_mask if SAMPLE_SLAB_SKIP else None,
+            )
         col = [jnp.where(tex_mask, tex_rgba[c], col[c]) for c in range(4)]
 
     any_phong = nrm_off is not None
