@@ -606,8 +606,14 @@ def pack_texture_atlas(textures):
 _SAMPLE_SLAB = 8  # pixel rows per one-hot contraction slab
 # Skip the per-slab texture contraction on slabs with no textured
 # coverage (zeros written instead; every consumer selects sampled rgba
-# under tex_mask, so output-exact — tested). A/B'd on hardware
-# (.ab_slabskip.py); flag kept as the probe switch / safety valve.
+# under tex_mask, so output-exact — tested). Hardware verdict
+# (measurements/r4/ab_slabskip.log, interleaved, medians of 5, checks
+# bit-equal): a WASH on the BASELINE scenes — config 3's covered tiles
+# are nearly fully covered so the existing per-tile tex_any gate
+# already took the win (1.79 -> 1.76 ms), and dense textured spheres
+# run tile_h=8 where the slab loop doesn't exist (16.40 vs 16.43 ms).
+# Stays ON: measured free, and pays on sparse textured coverage inside
+# 16/32-row tiles.
 SAMPLE_SLAB_SKIP = True
 
 
