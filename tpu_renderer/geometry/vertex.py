@@ -272,10 +272,10 @@ def _setup_fields(
     x0 = minv_x + clipped_y * xg  # cpp:4075
     z0 = camz_mn + clipped_y * zg  # cpp:4076
 
-    oz0 = F32(1.0) / minv_z  # cpp:4004 (inf when degenerate)
-    u0 = uvu_mn / minv_z
-    v0 = uvv_mn / minv_z
     if cfg.textured:  # cpp:4078-4089
+        oz0 = F32(1.0) / minv_z  # cpp:4004 (inf when degenerate)
+        u0 = uvu_mn / minv_z
+        v0 = uvv_mn / minv_z
         ozmax = F32(1.0) / maxv_z
         u1 = uvu_mx * ozmax
         v1 = uvv_mx * ozmax
@@ -286,7 +286,9 @@ def _setup_fields(
         v0 = v0 + clipped_y * vg
         oz0 = oz0 + clipped_y * ozg
     else:
-        ug = vg = ozg = jnp.zeros((3, T), F32)  # divergence #5
+        # divergence #5: all six u/v/1-z fields are 0 untextured (never
+        # consumed; skips 3 divides per edge — spec'd in the golden).
+        u0 = v0 = oz0 = ug = vg = ozg = jnp.zeros((3, T), F32)
 
     left = jnp.where(
         ymin == round_half_away(y_lo), F32(1.0), F32(0.0)

@@ -28,8 +28,11 @@ Documented divergences from the reference binary (SURVEY.md §2.1, §7):
    index clamping (the reference reads out of bounds for uv outside [0,1]).
    The AVX path's truncate/scale-by-dim/uv-mask variant is selectable via
    ``ObjectConfig.uv_mode='avx'``.
-5. Untextured edges leave u/v/1-z gradients uninitialized in the reference
-   (stale arena memory); we define them as 0. They are never consumed.
+5. Untextured edges leave the u/v/1-z fields uninitialized in the reference
+   (stale arena memory); we define ALL SIX (left values and gradients) as 0.
+   They are never consumed untextured — and zeroing the left values too
+   (round 4; they were previously computed like the textured path) lets
+   every setup path skip 3 divides per edge.
 6. Zero lights + Gouraud leaves edge colors uninitialized in the reference;
    we define them as the raw vertex colors (white if textured).
 
@@ -238,10 +241,10 @@ def setup_edges(obj, transform, lights, phong=False, textured=False):
                 x0 = minv[0] + clipped_y * xg
                 z0 = cam[t, mn, 2] + clipped_y * zg
 
-                oz0 = F(1) / minv[2]
-                u0 = uvs[t, mn, 0] / minv[2]
-                v0 = uvs[t, mn, 1] / minv[2]
                 if textured:
+                    oz0 = F(1) / minv[2]
+                    u0 = uvs[t, mn, 0] / minv[2]
+                    v0 = uvs[t, mn, 1] / minv[2]
                     u1 = uvs[t, mx, 0] * (F(1) / maxv[2])
                     v1 = uvs[t, mx, 1] * (F(1) / maxv[2])
                     ug = (u1 - u0) / ydiff
@@ -251,7 +254,12 @@ def setup_edges(obj, transform, lights, phong=False, textured=False):
                     v0 = v0 + clipped_y * vg
                     oz0 = oz0 + clipped_y * ozg
                 else:
-                    ug = vg = ozg = F(0)  # divergence #5
+                    # divergence #5: ALL six u/v/1-z fields are 0 when
+                    # untextured (left values AND gradients) — never
+                    # consumed; skipping their 3 per-edge divides is a
+                    # real setup saving on the TPU path, so the spec
+                    # zeroes them too.
+                    u0 = v0 = oz0 = ug = vg = ozg = F(0)
 
                 if phong:
                     cmin, cmax = colors[t, mn], colors[t, mx]

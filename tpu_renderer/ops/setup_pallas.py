@@ -265,10 +265,10 @@ def _setup_kernel(params, verts_ref, cols_ref, nrms_ref, uvs_ref,
     x0 = minv_x + clipped_y * xg  # cpp:4075
     z0 = camz_mn + clipped_y * zg  # cpp:4076
 
-    oz0 = F32(1.0) / minv_z  # cpp:4004
-    u0 = uvu_mn / minv_z
-    v0 = uvv_mn / minv_z
     if textured:  # cpp:4078-4089
+        oz0 = F32(1.0) / minv_z  # cpp:4004
+        u0 = uvu_mn / minv_z
+        v0 = uvv_mn / minv_z
         ozmax = F32(1.0) / maxv_z
         u1 = uvu_mx * ozmax
         v1 = uvv_mx * ozmax
@@ -279,8 +279,11 @@ def _setup_kernel(params, verts_ref, cols_ref, nrms_ref, uvs_ref,
         v0 = v0 + clipped_y * vg
         oz0 = oz0 + clipped_y * ozg
     else:
+        # divergence #5: all six u/v/1-z fields are 0 untextured — the
+        # trim saves 3 VPU divides (Newton chains) per edge per
+        # triangle in this kernel's hot loop.
         zero = jnp.zeros_like(ydiff)
-        ug = vg = ozg = zero  # divergence #5
+        u0 = v0 = oz0 = ug = vg = ozg = zero
 
     left = jnp.where(
         ymin == round_half_away(y_lo), F32(1.0), F32(0.0)
