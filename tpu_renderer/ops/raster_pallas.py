@@ -116,7 +116,13 @@ F32 = jnp.float32
 TILE_W = 128
 CHUNK_T = 8  # triangles evaluated per vector step
 QUEUE_BLK = 64  # sorted-strategy: entries per pipelined record block
-WIDE_BLK = 128  # wide-stage-A block (dense grids); >=128 fills the lanes
+# Wide-stage-A record-block size (dense grids); >= 128 fills the lanes.
+# 256 halves the work items (per-item DMA latency + boundary-entry
+# masking amortize better) and won the r4 A/B drop-free + bit-equal at
+# both probed scales (measurements/r4/ab_wideblk.log: 41.09 -> 40.34 ms
+# @1M, 70.44 -> 69.07 @2M, interleaved medians of 5); 128 was never
+# hardware-chosen, just the initial guess.
+WIDE_BLK = 256
 _BIG = 3.4028235e38
 AUTO_SORTED_THRESHOLD = 512  # auto switches to sorted binning above this
 
