@@ -115,7 +115,12 @@ F32 = jnp.float32
 
 TILE_W = 128
 CHUNK_T = 8  # triangles evaluated per vector step
-QUEUE_BLK = 64  # sorted-strategy: entries per pipelined record block
+# Sorted-strategy narrow-path (16/32-row tiles) entries per pipelined
+# record block. 128 won the r4 A/B, bit-equal (measurements/r4/
+# ab_queueblk.log: config 4 1.549 -> 1.536 ms, config 5 4.894 -> 4.854
+# — fewer work items; the masked boundary chunks cost less than the
+# per-item overhead they replace).
+QUEUE_BLK = 128
 # Wide-stage-A record-block size (dense grids); >= 128 fills the lanes.
 # 256 halves the work items (per-item DMA latency + boundary-entry
 # masking amortize better) and won the r4 A/B drop-free + bit-equal at
