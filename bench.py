@@ -323,8 +323,7 @@ def run_parity():
     return out
 
 
-def _measure_scale_point(lat, lon, textured, height=1080, width=1920,
-                         with_covered=False):
+def _measure_scale_point(lat, lon, textured, height=1080, width=1920):
     """One dense-mesh scale point: TPU ms/frame (median of 3 chained
     scans), drop count, and the native CPU golden ms at the same scene.
 

@@ -629,3 +629,42 @@ def test_budget_calibration_bit_identical_and_counted():
     assert float(stats2["bins_budget_utilization"]) >= util
     np.testing.assert_array_equal(np.asarray(fb.color), np.asarray(fb2.color))
     np.testing.assert_array_equal(np.asarray(fb.depth), np.asarray(fb2.depth))
+
+
+def test_renderer_calibrate_api():
+    """Renderer.calibrate() applies a validated per-renderer budget (no
+    module global): tightens when safe, keeps frames bit-identical and
+    drop-free, and refuses to loosen (round-5 productization)."""
+    from tpu_renderer.engine.renderer import Renderer
+
+    scene_g, tr_d, li_d = scenes.baseline_scene(4, 256, 256)
+    scene, tr, li = scenes.to_jax_scene(scene_g, tr_d, li_d)
+    r = Renderer(256, 256, backend="pallas")
+    fb0, stats0 = r.render(scene, tr, li, with_stats=True)
+    assert int(stats0["bins_dropped"]) == 0
+
+    applied = r.calibrate(scene, tr, li)
+    if applied is not None:
+        # A genuine tightening below every draw's policy factor.
+        assert 0.0 < applied < float(stats0["bins_budget_factor_min"])
+        assert r.budget_factor == applied
+        fb1, stats1 = r.render(scene, tr, li, with_stats=True)
+        assert int(stats1["bins_dropped"]) == 0
+        np.testing.assert_array_equal(
+            np.asarray(fb1.color), np.asarray(fb0.color)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(fb1.depth), np.asarray(fb0.depth)
+        )
+    else:
+        # Refusal leaves the renderer untouched.
+        assert r.budget_factor is None
+
+    # A second calibration never loosens an applied budget: suggestions
+    # are relative to the POLICY factor, so re-running returns the same
+    # value or None — and the budget only ever moves to a validated one.
+    before = r.budget_factor
+    again = r.calibrate(scene, tr, li)
+    if before is not None:
+        assert r.budget_factor is not None
+        assert r.budget_factor <= before * 1.0 + 1e-9 or again is None

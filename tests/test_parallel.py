@@ -153,6 +153,27 @@ def test_object_sharded_heterogeneous_configs(eight_devices):
                                   np.asarray(fb0.depth))
 
 
+def test_2level_host_mesh_matches_single_device(eight_devices):
+    """('host', 'ty') two-level mesh: triangles over the cross-host DCN
+    axis, tiles over 'ty' — the fold must be bit-equal to single-device
+    (submission order preserved: contiguous triangle shards fold in
+    ascending host order)."""
+    from tpu_renderer.parallel.mesh import render_scene_2level
+
+    scene_j, tr, li = build(1)
+    fb0 = render_scene(
+        make_framebuffer(H, W), scene_j, tr, li, backend="reference"
+    )
+    mesh = Mesh(eight_devices.reshape(2, 4), ("host", "ty"))
+    fb1 = render_scene_2level(
+        scene_j, tr, li, H, W, mesh, backend="reference"
+    )
+    np.testing.assert_array_equal(np.asarray(fb1.color),
+                                  np.asarray(fb0.color))
+    np.testing.assert_array_equal(np.asarray(fb1.depth),
+                                  np.asarray(fb0.depth))
+
+
 def test_graft_entry_points(eight_devices):
     import __graft_entry__ as g
 

@@ -94,6 +94,7 @@ def render_object(
     col0=0,
     capacity: int | None = None,
     stats: dict | None = None,
+    budget_override: float | None = None,
 ) -> Framebuffer:
     """Draw one object over the shared framebuffer (FillEdgeTable +
     DrawModel* pair, SURVEY.md §1.1).
@@ -151,6 +152,7 @@ def render_object(
             frame_height, frame_width, row0, col0,
             texture=obj.texture if fused_tex else None,
             filter_mode=cfg.filter_mode,
+            budget_override=budget_override,
         )
         _merge_stats(stats, rstats)
         if fresh:
@@ -177,7 +179,7 @@ def render_object(
         )
         covered, gbuf, rstats = rasterize_pallas(
             rec_t, height, width, capacity, frame_height, frame_width,
-            row0, col0,
+            row0, col0, budget_override=budget_override,
         )
         _merge_stats(stats, rstats)
     else:
@@ -224,7 +226,7 @@ def _scene_batchable(scene) -> bool:
 
 def _render_scene_batched(
     framebuffer, scene, transform, lights, frame_height, frame_width,
-    row0, col0, capacity, stats,
+    row0, col0, capacity, stats, budget_override=None,
 ):
     """ONE fused kernel launch for the whole scene: per-object record
     tables concatenate into a scene-global channel-major table (gid lanes
@@ -332,6 +334,7 @@ def _render_scene_batched(
     covered, z, packed, rstats = rasterize_scene_shaded(
         rec_t, tuple(objspecs), transform, lights, height, width, capacity,
         frame_height, frame_width, row0, col0, atlas=atlas,
+        budget_override=budget_override,
     )
     _merge_stats(stats, rstats)
     if fresh:
@@ -355,6 +358,7 @@ def render_scene(
     col0=0,
     capacity: int | None = None,
     stats: dict | None = None,
+    budget_override: float | None = None,
 ) -> Framebuffer:
     """Draw a list of objects in submission order (shared z-buffer).
 
@@ -373,7 +377,7 @@ def render_scene(
     if backend == "pallas" and len(scene) > 1 and _scene_batchable(scene):
         return _render_scene_batched(
             framebuffer, scene, transform, lights, frame_height,
-            frame_width, row0, col0, capacity, stats,
+            frame_width, row0, col0, capacity, stats, budget_override,
         )
     if framebuffer is None and not scene:
         return make_framebuffer(frame_height, frame_width)
@@ -381,6 +385,7 @@ def render_scene(
         framebuffer = render_object(
             framebuffer, obj, transform, lights, cfg, backend,
             frame_height, frame_width, row0, col0, capacity, stats,
+            budget_override,
         )
     return framebuffer
 
@@ -394,12 +399,19 @@ class Renderer:
     """
 
     def __init__(self, height: int, width: int, backend: str = "reference",
-                 clear_color: int = 0, capacity: int | None = None):
+                 clear_color: int = 0, capacity: int | None = None,
+                 budget_factor: float | None = None):
         self.height = height
         self.width = width
         self.backend = backend
         self.clear_color = clear_color
         self.capacity = capacity  # per-tile triangle list size (pallas)
+        # Per-RENDERER entry-budget override (sorted strategy): replaces
+        # the policy budget factor for every draw this renderer compiles.
+        # Set directly, or measured by .calibrate(); None = policy
+        # defaults. Scoped here (not the module global) so two renderers
+        # with different scene families never fight over one flag.
+        self.budget_factor = budget_factor
         self._compiled = {}
 
     def render(
@@ -414,9 +426,12 @@ class Renderer:
         capacity overflow — nonzero means raise ``capacity``)."""
         cfgs = tuple(cfg for _, cfg in scene)
         objs = tuple(obj for obj, _ in scene)
-        key = (cfgs, tuple(o.vertices.shape for o in objs), with_stats)
+        key = (cfgs, tuple(o.vertices.shape for o in objs), with_stats,
+               self.budget_factor)
         fn = self._compiled.get(key)
         if fn is None:
+            budget = self.budget_factor
+
             @jax.jit
             def fn(objs, transform, lights):
                 # clear_color 0 (the default) takes the fresh-frame fast
@@ -432,12 +447,78 @@ class Renderer:
                     fb, list(zip(objs, cfgs)), transform, lights,
                     self.backend, frame_height=self.height,
                     frame_width=self.width, capacity=self.capacity,
-                    stats=stats,
+                    stats=stats, budget_override=budget,
                 )
                 return (fb, stats) if with_stats else fb
 
             self._compiled[key] = fn
         return fn(objs, transform, lights)
+
+    def calibrate(
+        self,
+        scene: Sequence[Tuple[RenderObject, ObjectConfig]],
+        transform: ProjectiveTransform,
+        lights: LightData,
+        margin: float = 1.25,
+    ) -> Optional[float]:
+        """Measure one representative frame's real binning demand and
+        tighten THIS renderer's entry budget (self.budget_factor).
+
+        The sorted strategy's static budget (ROADMAP) sets the per-frame
+        record-gather length and the work-item grid bound; the policy
+        default carries open-mesh headroom a known scene family may not
+        need. This renders ``scene`` once at the CURRENT budget, computes
+        ``max_policy_factor * realized_utilization * margin``, and applies
+        it only when it is SAFE and a genuine tightening:
+
+        - refuses to loosen: a suggestion at or above the minimum policy
+          factor across the scene's draws is discarded (applying it would
+          grow some draw's gather/grid for nothing — including the
+          density-scaled rows default, which can sit below utilization
+          math on very dense scenes);
+        - validates: re-renders the frame at the tightened budget and
+          REVERTS if anything drops (depth-complex scenes whose demand
+          the utilization of a single frame understates stay at policy).
+
+        Returns the applied factor, or None when nothing changed. Later
+        frames remain guarded: drops are always counted in
+        stats['bins_dropped'] — re-calibrate on the worst frame of the
+        family if it ever reports nonzero."""
+        _, stats = self.render(scene, transform, lights, with_stats=True)
+        suggestion = _suggest_budget_factor(stats, margin)
+        if suggestion is None:
+            return None
+        prev = self.budget_factor
+        self.budget_factor = suggestion
+        _, stats2 = self.render(scene, transform, lights, with_stats=True)
+        if int(stats2["bins_dropped"]) > 0:
+            self.budget_factor = prev
+            return None
+        return suggestion
+
+
+def _suggest_budget_factor(stats: dict, margin: float) -> Optional[float]:
+    """Budget-factor suggestion from one frame's realized stats, or None.
+
+    Suggestion = max_policy_factor * max_stream_utilization * margin.
+    REFUSED (None) when it would not tighten every draw: in a
+    mixed-policy scene the max-utilization draw's realized demand
+    (util * its factor) can exceed the minimum policy factor, so
+    clamping the global suggestion to the min — the round-4 behavior —
+    could sit BELOW that draw's demand and introduce drops on the very
+    frame used to calibrate (advisor r4). A suggestion >= the min
+    factor is therefore discarded rather than clamped."""
+    if "bins_budget_utilization" not in stats:
+        return None
+    util = float(stats["bins_budget_utilization"])
+    used = float(stats["bins_budget_factor"])
+    used_min = float(stats["bins_budget_factor_min"])
+    if util <= 0.0:
+        return None
+    suggestion = used * util * margin
+    if suggestion >= used_min:
+        return None
+    return suggestion
 
 
 def calibrate_budget_factor(
@@ -449,7 +530,7 @@ def calibrate_budget_factor(
     margin: float = 1.25,
 ) -> Optional[float]:
     """Measure one frame's real binning demand and suggest a tightened
-    ``raster_pallas.BUDGET_FACTOR_OVERRIDE`` for this scene family.
+    entry-budget factor for this scene family (None = keep policy).
 
     The sorted strategy's static entry budget (budget_factor * T per
     stream) drives the per-frame record-gather length and the work-item
@@ -457,37 +538,25 @@ def calibrate_budget_factor(
     a typical closed mesh's real demand (ROADMAP: real entries ~0.7/tri
     closed vs the 1.2 default). jit forbids a dynamic budget, so the
     production escape hatch is: render ONE representative frame here,
-    read the realized max-stream utilization, and return
-    ``max_factor * utilization * margin`` clamped to the MINIMUM policy
-    factor across the scene's draws — the OVERRIDE is global, so the
-    clamp guarantees the suggestion never loosens any draw's budget
-    (a mixed-policy scene clamped only to the max factor could loosen
-    its tight-policy draws). Returns None when the scene never used a
-    stream budget (mask strategy / empty scene).
+    read the realized max-stream utilization, and suggest
+    ``max_factor * utilization * margin`` — REFUSING (None) any value
+    that fails to tighten every draw's budget (see
+    _suggest_budget_factor; the round-4 min-policy clamp could sit
+    below the max-utilization draw's realized demand in mixed-policy
+    scenes).
 
-    Apply via ``raster_pallas.BUDGET_FACTOR_OVERRIDE = value`` (a
-    trace-time constant: set it BEFORE the first jit of the frame
-    function). Drops remain counted in stats['bins_dropped'] — if a
-    later frame of the family overflows the tightened budget, re-run
-    calibration on that frame; nothing is ever silently lost.
-
-    NOTE: since round 4 the rows-packed DEFAULT budget is already
-    density-scaled (~2x measured demand,
-    raster_pallas._rows_stream_budget_factor), so on very dense scenes
-    an override computed from utilization may be LOOSER than the
-    default it replaces — only apply the suggestion when it is smaller
-    than the realized default (compare stats['bins_budget_utilization']
-    against 1 / margin)."""
+    Prefer the product form: ``Renderer.calibrate()``, which applies the
+    suggestion to that renderer's compiled functions and validates it
+    drop-free before keeping it. This function remains for callers
+    managing their own jit (apply via the ``budget_override`` parameter
+    of render_scene/rasterize_*, or the module-global
+    ``raster_pallas.BUDGET_FACTOR_OVERRIDE`` before first jit). Drops
+    remain counted in stats['bins_dropped'] — if a later frame of the
+    family overflows the tightened budget, re-run calibration on that
+    frame; nothing is ever silently lost."""
     stats: dict = {}
     render_scene(
         None, list(scene), transform, lights, backend="pallas",
         frame_height=frame_height, frame_width=frame_width, stats=stats,
     )
-    if "bins_budget_utilization" not in stats:
-        return None
-    util = float(stats["bins_budget_utilization"])
-    used = float(stats["bins_budget_factor"])
-    used_min = float(stats["bins_budget_factor_min"])
-    if util <= 0.0:
-        return None
-    return min(used_min, used * util * margin)
+    return _suggest_budget_factor(stats, margin)

@@ -28,11 +28,13 @@ Documented divergences from the reference binary (SURVEY.md §2.1, §7):
    index clamping (the reference reads out of bounds for uv outside [0,1]).
    The AVX path's truncate/scale-by-dim/uv-mask variant is selectable via
    ``ObjectConfig.uv_mode='avx'``.
-5. Untextured edges leave the u/v/1-z fields uninitialized in the reference
-   (stale arena memory); we define ALL SIX (left values and gradients) as 0.
-   They are never consumed untextured — and zeroing the left values too
-   (round 4; they were previously computed like the textured path) lets
-   every setup path skip 3 divides per edge.
+5. Untextured u/v/1-z: the reference COMPUTES the left values
+   (UMin/VMin/OneOverZMin are assigned unconditionally,
+   projekt.cpp:4002-4004) but leaves the GRADIENTS stale arena memory
+   (Bitmap-gated, projekt.cpp:4079-4089); none of the six is ever
+   consumed untextured. We define ALL SIX as 0 — zeroing the left values
+   too (round 4) is an optimization that lets every setup path skip the
+   reference's 3 unconditional divides per edge, output-invisible.
 6. Zero lights + Gouraud leaves edge colors uninitialized in the reference;
    we define them as the raw vertex colors (white if textured).
 

@@ -145,7 +145,7 @@ VISIT_EMPTY_TILES = False
 BUDGET_FACTOR_OVERRIDE = None
 
 
-def _queue_expansion(tile_h: int, num_triangles: int):
+def _queue_expansion(tile_h: int, num_triangles: int, override=None):
     """(expansion, budget_factor) for the sorted strategy's entry stream.
 
     In the 32-row-tile regime (small scenes) triangles are allowed to span
@@ -173,8 +173,10 @@ def _queue_expansion(tile_h: int, num_triangles: int):
         exp, bf = 4, 1.2
     else:
         exp, bf = 8, 2
-    if BUDGET_FACTOR_OVERRIDE is not None:
-        bf = BUDGET_FACTOR_OVERRIDE
+    if override is None:
+        override = BUDGET_FACTOR_OVERRIDE
+    if override is not None:
+        bf = override
     return exp, bf
 # Auto-switch to 8-row tiles when the mean frame area per triangle drops
 # below this: small triangles make 32-row tiles waste 4x fragment work,
@@ -2305,6 +2307,7 @@ def rasterize_pallas_shaded(
     tile_h: int | None = None,
     texture=None,
     filter_mode: str = "nearest",
+    budget_override=None,
 ):
     """Single-object fused fast path (see rasterize_scene_shaded).
 
@@ -2330,6 +2333,7 @@ def rasterize_pallas_shaded(
     return rasterize_scene_shaded(
         edges, objspecs, transform, lights, height, width, capacity,
         frame_height, frame_width, row0, col0, strategy, tile_h, atlas,
+        budget_override,
     )
 
 
@@ -2348,6 +2352,7 @@ def rasterize_scene_shaded(
     strategy: str = "auto",
     tile_h: int | None = None,
     atlas=None,
+    budget_override=None,
 ):
     """Fully-fused fast path: raster + interpolate + shade + ARGB pack in
     one kernel -> (covered, z(H,W), color_u32(H,W), stats). The G-buffer
@@ -2491,7 +2496,9 @@ def rasterize_scene_shaded(
                 pack_records_rowmajor(edges) if T > 65536
                 else pack_records(edges)
             )
-        expansion, budget_factor = _queue_expansion(tile_h, t_policy)
+        ov = (budget_override if budget_override is not None
+              else BUDGET_FACTOR_OVERRIDE)
+        expansion, budget_factor = _queue_expansion(tile_h, t_policy, ov)
         bf_policy = budget_factor  # pre-stream-frac: what OVERRIDE replaces
         # Dense fine-tile grids run the wide (full-lane-width) in-kernel
         # stage A over WIDE_BLK-entry blocks; sparse 32-row grids keep
@@ -2517,7 +2524,7 @@ def rasterize_scene_shaded(
             else 1
         )
         if rows > 1:
-            if BUDGET_FACTOR_OVERRIDE is not None:
+            if ov is not None:
                 # Escape-hatch semantics unchanged: the override is the
                 # pre-frac factor, scaled by the flat per-stream FRAC.
                 # CAVEAT (rows == 4, non-default): halving strip_h
@@ -2529,10 +2536,25 @@ def rasterize_scene_shaded(
                 budget_factor = budget_factor * PACK_ROWS_STREAM_FRAC * (
                     2.0 / rows
                 )
+            elif len(objspecs) > 1:
+                # Multi-object scenes keep the FLAT per-stream budget:
+                # the density key frame_px / T ignores inter-object
+                # overdraw, so stacked objects (each triangle covering
+                # real pixels behind another object) would read as
+                # "sub-pixel-dense" and get a budget below their true
+                # demand (advisor r4). Flat = the pre-round-4 default,
+                # drop-free on every probed scene class.
+                budget_factor = (1.2 * PACK_ROWS_STREAM_FRAC) * (
+                    2.0 / rows
+                )
             else:
                 # Density-aware default (see _rows_stream_budget_factor:
                 # ~2x measured per-stream demand at the scene's px/tri,
-                # never looser than the old flat budget).
+                # never looser than the old flat budget). CAVEAT: a
+                # single OBJECT with stacked layers (depth-complex
+                # geometry) can exceed it the same way — drops are
+                # counted, never silent, and Renderer.calibrate() /
+                # budget_override are the product escape hatches.
                 budget_factor = _rows_stream_budget_factor(
                     t_policy, frame_height, frame_width
                 ) * (2.0 / rows)
@@ -2680,6 +2702,7 @@ def rasterize_pallas(
     col0=0,
     strategy: str = "auto",
     tile_h: int | None = None,
+    budget_override=None,
 ):
     """Full fast-path rasterization -> (covered, gbuf, stats), same
     channel-first G-buffer API as ops.raster_reference.rasterize_reference:
@@ -2745,7 +2768,9 @@ def rasterize_pallas(
             else finish_records(rec_t) if rec_t is not None
             else pack_records(edges)
         )
-        expansion, budget_factor = _queue_expansion(tile_h, t_policy)
+        expansion, budget_factor = _queue_expansion(
+            tile_h, t_policy, budget_override
+        )
         qbins = bin_triangles_queue(
             edges, height, width, tile_h, TILE_W, QUEUE_BLK,
             expansion=expansion, budget_factor=budget_factor,

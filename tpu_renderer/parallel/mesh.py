@@ -151,6 +151,7 @@ def render_scene_geometry_sharded(
     mesh: Mesh,
     backend: str = "pallas",
     clear_color: int = 0,
+    tr_axis: str = "tr",
 ) -> Framebuffer:
     """Triangles sharded over 'tr' (optionally x tiles over 'ty'/'tx').
 
@@ -167,8 +168,12 @@ def render_scene_geometry_sharded(
     across shards), folding in ascending shard order with strict > keeps
     the earlier shard — and shard s owns the contiguous triangle range
     [s*Ts, (s+1)*Ts), so the earlier shard IS the earlier triangle.
+
+    ``tr_axis`` renames the geometry axis — render_scene_2level passes
+    'host' so the one per-frame collective rides the cross-host (DCN)
+    axis of a two-level mesh.
     """
-    n_tr = mesh.shape["tr"]
+    n_tr = mesh.shape[tr_axis]
     ny = mesh.shape.get("ty", 1)
     nx = mesh.shape.get("tx", 1)
     assert height % ny == 0 and width % nx == 0
@@ -180,7 +185,7 @@ def render_scene_geometry_sharded(
     have_tiles = ("ty" in mesh.shape) or ("tx" in mesh.shape)
 
     # Soup arrays are (C, 3, T): the triangle axis (minor) shards over 'tr'.
-    tr_spec = P(None, None, "tr")
+    tr_spec = P(None, None, tr_axis)
     obj_specs = tuple(
         RenderObject(
             p=P(), vertices=tr_spec, colors=tr_spec, normals=tr_spec,
@@ -232,9 +237,9 @@ def render_scene_geometry_sharded(
         # and fold in ascending shard order — (greater z) wins, equal z
         # resolves to the smaller object key, and equal z + equal key
         # (same object split across shards) to the earlier shard.
-        z_all = jax.lax.all_gather(depth, "tr")  # (n_tr, lh, lw)
-        c_all = jax.lax.all_gather(color, "tr")
-        k_all = jax.lax.all_gather(okey, "tr")
+        z_all = jax.lax.all_gather(depth, tr_axis)  # (n_tr, lh, lw)
+        c_all = jax.lax.all_gather(color, tr_axis)
+        k_all = jax.lax.all_gather(okey, tr_axis)
         out_z = jnp.full_like(depth, DEPTH_CLEAR)
         out_c = jnp.full_like(color, jnp.uint32(clear_color))
         out_k = jnp.full_like(okey, _NO_WINNER)
@@ -247,7 +252,7 @@ def render_scene_geometry_sharded(
             out_k = jnp.where(win, k_all[s], out_k)
         return Framebuffer(color=out_c, depth=out_z)
 
-    out_color = P("ty", "tx") if have_tiles else P()
+    out_color = _tile_out_spec(mesh) if have_tiles else P()
     fn = shard_map(
         per_device,
         mesh=mesh,
@@ -257,6 +262,45 @@ def render_scene_geometry_sharded(
     )
     # Zip/unzip because shard_map wants pytrees matching in_specs.
     return fn(objs, transform, lights)
+
+
+def render_scene_2level(
+    scene: Sequence[Tuple[RenderObject, ObjectConfig]],
+    transform: ProjectiveTransform,
+    lights: LightData,
+    height: int,
+    width: int,
+    mesh: Mesh,
+    backend: str = "pallas",
+    clear_color: int = 0,
+) -> Framebuffer:
+    """Two-level DCN x ICI mesh: geometry over the cross-host 'host' axis,
+    framebuffer tiles over 'ty'/'tx' within each host's chip slice.
+
+    Deployment layout: build the mesh with hosts OUTERMOST (e.g.
+    ``mesh_utils.create_hybrid_device_mesh((n_hosts, chips_per_host),
+    ...)`` or ``Mesh(np.array(jax.devices()).reshape(n_hosts, -1),
+    ('host', 'ty'))`` — jax.devices() orders devices process-major, so
+    rows of the reshape are per-host chip groups). Communication then
+    splits by level exactly as the axes do:
+
+    - 'ty'/'tx' (intra-host, ICI): NO collective at all — every tile has
+      one owner (the property that already replaced the reference's ZMask
+      spinlock, projekt.cpp:1378-1409).
+    - 'host' (DCN): the ONE per-frame collective — the (z, color, key)
+      all-gather + ordered fold of render_scene_geometry_sharded — rides
+      the slow inter-host links, and its payload is each host's LOCAL
+      tile rect (height/ny x width/nx x 9 bytes), not the full frame.
+
+    Each host rasterizes its contiguous triangle shard (submission-order
+    contiguous, so the ordered fold keeps the reference's first-writer
+    depth ties exactly); the fold is bit-equal to the unsharded render
+    (asserted by dryrun_multichip shape 4 and tests/test_parallel.py).
+    """
+    return render_scene_geometry_sharded(
+        scene, transform, lights, height, width, mesh, backend,
+        clear_color, tr_axis="host",
+    )
 
 
 def render_scene_object_sharded(
