@@ -323,9 +323,17 @@ def run_parity():
     return out
 
 
-def _measure_scale_point(lat, lon, textured, height=1080, width=1920):
+def _measure_scale_point(lat, lon, textured, height=1080, width=1920,
+                         layers=1):
     """One dense-mesh scale point: TPU ms/frame (median of 3 chained
     scans), drop count, and the native CPU golden ms at the same scene.
+
+    ``layers`` > 1 builds a DEPTH-COMPLEXITY scene: concentric spheres of
+    descending radius, nearest (outermost) submitted first — every inner
+    layer is fully occluded, the scene class where occlusion culling
+    (raster_pallas.ZCULL_BLOCKS, default off) wins its keep
+    (measurements/r4/ab_zcull.log: -12.7%). Kept in --scale so the flag's
+    value cannot silently rot (VERDICT r4).
 
     Returns a dict; the machinery behind both --scale and the headline."""
     import jax
@@ -343,23 +351,33 @@ def _measure_scale_point(lat, lon, textured, height=1080, width=1920):
     _, transform, lights = scenes.to_jax_scene([], tr_d, li_d)
     tex = checkerboard(128, 128, 16) if textured else None
     mesh = construct_sphere_grid(lat, lon)
-    obj = jax.device_put(make_object(
-        (0.0, 0.0, 0.0), **mesh, texture=tex,
-    ))
+    meshes = [mesh]
+    for i in range(1, layers):
+        s = np.float32(1.0 - 0.1 * i)  # descending radius, outer first
+        meshes.append({
+            k: (np.asarray(v) * s if k == "vertices" else v)
+            for k, v in mesh.items()
+        })
+    objs_h = [make_object((0.0, 0.0, 0.0), **m, texture=tex)
+              for m in meshes]
+    objs = jax.device_put(tuple(objs_h))
     cfg = (ObjectConfig(textured=True, filter_mode="bilinear")
            if textured else ObjectConfig(phong=True))
-    tris = obj.num_triangles
+    tris = sum(o.num_triangles for o in objs)
     iters = max(10, min(40, 4_000_000 // tris))
 
     @jax.jit
-    def frames(obj, transform, lights, angles):
+    def frames(objs, transform, lights, angles):
         def body(carry, angle):
-            spun = rotate_object(
-                obj, rotation_y(angle + carry * jnp.float32(1e-30))
-            )
+            spun = [
+                rotate_object(
+                    o, rotation_y(angle + carry * jnp.float32(1e-30))
+                )
+                for o in objs
+            ]
             stats = {}
             fb = render_scene(
-                None, [(spun, cfg)], transform, lights,
+                None, [(s_, cfg) for s_ in spun], transform, lights,
                 backend="pallas", frame_height=height,
                 frame_width=width, stats=stats,
             )
@@ -374,7 +392,7 @@ def _measure_scale_point(lat, lon, textured, height=1080, width=1920):
         return jax.lax.scan(body, jnp.float32(0.0), angles)
 
     angles = jnp.linspace(0.0, 0.6, iters).astype(jnp.float32)
-    out = frames(obj, transform, lights, angles)
+    out = frames(objs, transform, lights, angles)
     _ = float(out[0])
     # Median of 3 timed scans: single scans on the tunneled chip swing
     # ~1.3x run-to-run (CLAUDE.md), which at the 2M point is the
@@ -382,7 +400,7 @@ def _measure_scale_point(lat, lon, textured, height=1080, width=1920):
     timed = []
     for _ in range(3):
         t0 = time.perf_counter()
-        out = frames(obj, transform, lights, angles)
+        out = frames(objs, transform, lights, angles)
         _ = float(out[0])
         timed.append((time.perf_counter() - t0) / iters * 1e3)
     ms = sorted(timed)[1]
@@ -400,7 +418,7 @@ def _measure_scale_point(lat, lon, textured, height=1080, width=1920):
             {"texture": np.asarray(tex), "filter_mode": "bilinear"}
             if textured else {"phong": True}
         )
-        sg = [(dict(p=(0.0, 0.0, 0.0), **mesh), gcfg)]
+        sg = [(dict(p=(0.0, 0.0, 0.0), **m), gcfg) for m in meshes]
         native.render(sg, tr_d, li_d, 64, 64)
         t0 = time.perf_counter()
         native.render(sg, tr_d, li_d, height, width)
@@ -429,14 +447,19 @@ def run_scale():
     # (lat, lon, textured): the final row is the 1080p textured point —
     # a dense bilinear-sampled mesh (config 3's contract at headline
     # resolution; the texture rides the fused MXU sampling path).
-    for lat, lon, textured in (
-        (140, 143, False), (354, 354, False), (708, 707, False),
-        (1000, 1001, False), (354, 354, True),
+    # The layers=6 row is the depth-complexity class (concentric occluded
+    # spheres) — the scene where ZCULL_BLOCKS earns its keep; kept here so
+    # the flag's value stays measured (VERDICT r4 weak #6).
+    for lat, lon, textured, layers in (
+        (140, 143, False, 1), (354, 354, False, 1), (708, 707, False, 1),
+        (1000, 1001, False, 1), (354, 354, True, 1),
+        (409, 409, False, 6),
     ):
-        r = _measure_scale_point(lat, lon, textured)
+        r = _measure_scale_point(lat, lon, textured, layers=layers)
         print(json.dumps({
             "metric": ("scale_1080p_textured_bilinear" if textured
-                       else "scale_1080p_phong"),
+                       else "scale_1080p_phong"
+                       + ("_stack6" if layers > 1 else "")),
             "triangles": r["triangles"],
             "ms_per_frame": r["ms_per_frame"],
             "fps": r["fps"], "bins_dropped": r["bins_dropped"],

@@ -344,3 +344,26 @@ def test_rows_stream_budget_density_policy():
     assert f(100000, 1080, 1920) == 0.54
     # Ultra-dense floor.
     assert f(20_000_000, 1080, 1920) == pytest.approx(0.19)
+
+
+def test_fold_planes_config_specialized():
+    """The fused kernels fold ONLY the interpolant planes a config
+    consumes (_scene_fields): Gouraud rgba (4), Phong rgba+normal (7),
+    textured-only uv/1-z (3, color replaced by the texture — shade()'s
+    quirk, projekt.cpp:427-445+513), mixed scenes the union (10). Pinned
+    so a future record/plane change cannot silently regress the
+    per-entry fold cost (VERDICT r4 item 3)."""
+    from tpu_renderer.ops.raster_pallas import ObjSpec, _scene_fields
+
+    gouraud = (ObjSpec(0, 10, False, None),)
+    phong = (ObjSpec(0, 10, True, None),)
+    textured = (ObjSpec(0, 10, False, (0, 16, 16)),)
+    mixed = (
+        ObjSpec(0, 10, True, None),
+        ObjSpec(10, 20, False, (0, 16, 16)),
+        ObjSpec(20, 30, False, None),
+    )
+    assert len(_scene_fields(gouraud)[0]) == 4
+    assert len(_scene_fields(phong)[0]) == 7
+    assert len(_scene_fields(textured)[0]) == 3
+    assert len(_scene_fields(mixed)[0]) == 10

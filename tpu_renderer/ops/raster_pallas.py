@@ -617,6 +617,21 @@ def pack_texture_atlas(textures):
 
 
 _SAMPLE_SLAB = 8  # pixel rows per one-hot contraction slab
+# Windowed row contraction (round 5, VERDICT item 5): when a slab's
+# REFERENCED atlas-row range fits in this many rows, the one-hot MXU
+# contraction runs over a dynamic TEX_ROW_WINDOW-row window of the atlas
+# instead of all AH rows — the full contraction paid the whole atlas's
+# row space per covered slab regardless of which texels the tile touches
+# (r4 probe_tex: bilinear sampling was ~1.6 of config 3's 1.79 ms at 12
+# triangles). Exact: every referenced row is inside the window when it
+# fits (the range is measured over ``need``-masked pixels only; unneeded
+# pixels may fall outside, their one-hot matches nothing, they produce
+# zeros, and every consumer selects sampled rgba under tex_mask —
+# the same contract SAMPLE_SLAB_SKIP already relies on). Slabs whose
+# range exceeds the window fall back to the full contraction. 0 = off.
+# Default pending the round-5 hardware A/B (.r5_texwin.py) — bit-equal
+# across 0/16/32 in interpret mode (and asserted on-chip by the A/B).
+TEX_ROW_WINDOW = 0
 # Skip the per-slab texture contraction on slabs with no textured
 # coverage (zeros written instead; every consumer selects sampled rgba
 # under tex_mask, so output-exact — tested). Hardware verdict
@@ -632,7 +647,8 @@ SAMPLE_SLAB_SKIP = True
 
 def _by_row_slabs(sample_fn, planes, tile_h, tile_w, slab=_SAMPLE_SLAB,
                   need=None):
-    """Apply ``sample_fn`` (N (r, W) f32 planes -> 4 (r, W) rgba planes)
+    """Apply ``sample_fn`` (N (r, W) f32 planes + need plane (or None) ->
+    4 (r, W) rgba planes)
     over ``slab``-row slices of the tile, serialized through a fori_loop
     on scoped VMEM refs. Bounds the one-hot contraction intermediates
     ((r, W, AH) one-hots, (r, W, 4*AW) f32 row texels) to a couple of MB
@@ -653,7 +669,10 @@ def _by_row_slabs(sample_fn, planes, tile_h, tile_w, slab=_SAMPLE_SLAB,
     All planes ride one f32 ref; integer index planes are exact in f32
     for any atlas dimension <= 2**24, and ``sample_fn`` casts back."""
     if tile_h <= slab:
-        return sample_fn(*planes)
+        return sample_fn(
+            *planes,
+            None if need is None else jnp.where(need, F32(1.0), F32(0.0)),
+        )
     n = len(planes)
 
     def scoped(in_ref, out_ref):
@@ -666,7 +685,10 @@ def _by_row_slabs(sample_fn, planes, tile_h, tile_w, slab=_SAMPLE_SLAB,
             rows = pl.ds(s * slab, slab)
 
             def run():
-                outs = sample_fn(*(in_ref[i, rows, :] for i in range(n)))
+                outs = sample_fn(
+                    *(in_ref[i, rows, :] for i in range(n)),
+                    in_ref[n, rows, :] if need is not None else None,
+                )
                 for c in range(4):
                     out_ref[c, rows, :] = outs[c]
 
@@ -709,11 +731,11 @@ def _sample_texture_atlas(txi, tyi, tex_ref, ah, aw, tile_h, tile_w,
     # One contraction across all 4 channel blocks (N = 4*AW keeps the MXU
     # fuller than per-channel N = AW dots); Mosaic requires a 32-bit
     # accumulator, and the f32 result is exact for texel ints <= 255.
-    def one(txi_s, tyi_s):
+    def one(txi_s, tyi_s, need_s):
         r = txi_s.shape[0]
         txi_s = txi_s.astype(jnp.int32)  # exact f32 round-trip via the
         tyi_s = tyi_s.astype(jnp.int32)  # slab ref (no-op when direct)
-        mid = _row_texels(tyi_s, tex_ref, ah, r, tile_w)
+        mid = _row_texels_win(tyi_s, tex_ref, ah, r, tile_w, need_s)
         return _col_pick(txi_s, mid, aw, r, tile_w)
 
     return _by_row_slabs(one, (txi, tyi), tile_h, tile_w, need=need)
@@ -729,6 +751,52 @@ def _row_texels(tyi, tex_ref, ah, tile_h, tile_w):
     return jax.lax.dot_general(
         oh_v, tex_ref[:], (((2,), (0,)), ((), ())),
         preferred_element_type=F32,
+    )
+
+
+def _row_texels_win(tyi, tex_ref, ah, tile_h, tile_w, need):
+    """Windowed _row_texels (TEX_ROW_WINDOW flag comment): contract a
+    dynamic window of the atlas rows when the slab's needed row range
+    fits, the whole atlas otherwise. Values for every ``need``-masked
+    pixel are identical to _row_texels (its one-hot matches exactly its
+    row, which the window contains); unneeded pixels may produce zeros,
+    which no consumer reads (tex_mask select)."""
+    win = TEX_ROW_WINDOW
+    if win <= 0 or ah <= win:
+        return _row_texels(tyi, tex_ref, ah, tile_h, tile_w)
+    if need is None:
+        rmin = jnp.min(tyi)
+        rmax = jnp.max(tyi)
+    else:
+        nb = need > F32(0.5)
+        rmin = jnp.min(jnp.where(nb, tyi, ah))
+        rmax = jnp.max(jnp.where(nb, tyi, -1))
+    rmin = jnp.clip(rmin, 0, ah - win)
+    fits = (rmax - rmin) < win
+
+    def scoped(mid_ref):
+        @pl.when(fits)
+        def _():
+            oh_v = (
+                (tyi - rmin)[:, :, None]
+                == jax.lax.broadcasted_iota(
+                    jnp.int32, (tile_h, tile_w, win), 2
+                )
+            ).astype(jnp.bfloat16)
+            mid_ref[:] = jax.lax.dot_general(
+                oh_v, tex_ref[pl.ds(rmin, win), :],
+                (((2,), (0,)), ((), ())),
+                preferred_element_type=F32,
+            )
+
+        @pl.when(jnp.logical_not(fits))
+        def _():
+            mid_ref[:] = _row_texels(tyi, tex_ref, ah, tile_h, tile_w)
+
+        return mid_ref[:]
+
+    return pl.run_scoped(
+        scoped, pltpu.VMEM((tile_h, tile_w, tex_ref.shape[1]), F32)
     )
 
 
@@ -760,14 +828,14 @@ def _sample_texture_atlas_bilinear(txi0, txi1, tyi0, tyi1, fx, fy, tex_ref,
 
     Reference texel fetch analog: projekt.cpp:1035-1142 (nearest); the
     bilinear mode is this framework's documented extension."""
-    def one(txi0_s, txi1_s, tyi0_s, tyi1_s, fx_s, fy_s):
+    def one(txi0_s, txi1_s, tyi0_s, tyi1_s, fx_s, fy_s, need_s):
         r = txi0_s.shape[0]
         txi0_s = txi0_s.astype(jnp.int32)  # exact f32 round-trip via
         txi1_s = txi1_s.astype(jnp.int32)  # the slab ref (no-op when
         tyi0_s = tyi0_s.astype(jnp.int32)  # called direct)
         tyi1_s = tyi1_s.astype(jnp.int32)
-        mid0 = _row_texels(tyi0_s, tex_ref, ah, r, tile_w)
-        mid1 = _row_texels(tyi1_s, tex_ref, ah, r, tile_w)
+        mid0 = _row_texels_win(tyi0_s, tex_ref, ah, r, tile_w, need_s)
+        mid1 = _row_texels_win(tyi1_s, tex_ref, ah, r, tile_w, need_s)
         c00 = _col_pick(txi0_s, mid0, aw, r, tile_w)
         c10 = _col_pick(txi1_s, mid0, aw, r, tile_w)
         c01 = _col_pick(txi0_s, mid1, aw, r, tile_w)

@@ -67,6 +67,16 @@ FUSED_SETUP_MIN = 4096
 # default stays False; the variant stays tested for future toolchains.
 SETUP_PACKED = False
 
+# Probe hook (timing-only; outputs are WRONG except 'rowmajor'): what the
+# fused kernel emits, to attribute the ~3x-over-BW-floor setup cost
+# (VERDICT r4 item 4) between field math, the in-kernel (128, blk)
+# transpose, and the HBM write.
+#   'rowmajor'    shipped behavior (transpose + row-major write)
+#   'rowmajor128' transpose in (128, 128) chunks (Mosaic-native tiles)
+#   'chanmajor'   write the channel-major block untransposed
+#   'none'        skip the record write entirely (math + bbox only)
+_PROBE_EMIT = "rowmajor"
+
 
 @jax.tree_util.register_pytree_node_class
 class SetupOut:
@@ -340,7 +350,19 @@ def _setup_kernel(params, verts_ref, cols_ref, nrms_ref, uvs_ref,
         ).astype(F32)
         pad = jnp.zeros((REC_LANES - GID_LANE - 1, blk), F32)
         full = jnp.concatenate([r84, gid_row, pad], axis=0)  # (128, B)
-        recs_ref[:] = jnp.transpose(full)
+        if _PROBE_EMIT == "chanmajor":
+            recs_ref[:] = full  # probe-only: untransposed layout
+        elif _PROBE_EMIT == "none":
+            # probe-only: skip the record write (one tiny token write so
+            # the output is not dead-coded away with the math).
+            recs_ref[0:8, :] = jnp.transpose(full[:, 0:8])
+        elif _PROBE_EMIT == "rowmajor128":
+            for j in range(blk // 128):
+                recs_ref[j * 128:(j + 1) * 128, :] = jnp.transpose(
+                    full[:, j * 128:(j + 1) * 128]
+                )
+        else:
+            recs_ref[:] = jnp.transpose(full)
 
     # Binning bbox (ops.binning._bbox_core — identical op order to
     # triangle_bbox_rows' use of it).
@@ -416,6 +438,12 @@ def setup_records_fused(
         textured=cfg.textured, gid0=gid0, frame_height=frame_height,
         frame_width=frame_width, blk=blk, packed=packed,
     )
+    if _PROBE_EMIT == "chanmajor":  # probe-only: untransposed output
+        rec_spec = pl.BlockSpec((REC_LANES, blk), lambda b: (0, b))
+        rec_shape = jax.ShapeDtypeStruct((REC_LANES, tp), F32)
+    else:
+        rec_spec = pl.BlockSpec((blk, REC_LANES), lambda b: (b, 0))
+        rec_shape = jax.ShapeDtypeStruct((tp, REC_LANES), F32)
     recs, bbox = pl.pallas_call(
         kernel,
         interpret=jax.default_backend() != "tpu",
@@ -425,11 +453,11 @@ def setup_records_fused(
             in_spec(3), in_spec(4), in_spec(3), in_spec(2),
         ],
         out_specs=[
-            pl.BlockSpec((blk, REC_LANES), lambda b: (b, 0)),
+            rec_spec,
             bbox_spec,
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((tp, REC_LANES), F32),
+            rec_shape,
             bbox_shape,
         ],
     )(
