@@ -199,15 +199,30 @@ frame_g[hk[ok]] = hg[ok]
 frame_z = frame_z.reshape(H, W)
 frame_g = frame_g.reshape(H, W)
 
-# Shipped sorted-path visibility at the same scene.
-from tpu_renderer.geometry.vertex import setup_records  # noqa: E402
+# Shipped sorted-path visibility at the same scene (the lower-level pass
+# exposes the gid plane; rasterize_pallas collapses it to `covered`).
+from tpu_renderer.ops.binning import bin_triangles_queue  # noqa: E402
 
-rec_t = setup_records(obj, tr, li, cfg)
-gid_p, gbuf, stats = jax.jit(
-    lambda r: rp.rasterize_pallas(r, H, W, strategy="sorted")
-)(rec_t)
+tile_h = rp._pick_tile_h(T, H, W)
+exp, bf = rp._queue_expansion(tile_h, T)
+
+
+@jax.jit
+def shipped(edges):
+    qbins = bin_triangles_queue(
+        edges, H, W, tile_h, rp.TILE_W, rp.QUEUE_BLK,
+        expansion=exp, budget_factor=bf,
+    )
+    gid_p, gbuf = rp.raster_pass_queue(
+        edges, qbins, H, W, tile_h=tile_h
+    )
+    return gid_p, gbuf[0], qbins.n_large, qbins.n_dropped
+
+
+gid_p, z_p, n_large, n_drop = shipped(edges)
+assert int(n_large) == 0 and int(n_drop) == 0, (int(n_large), int(n_drop))
 gid_p = np.asarray(gid_p)
-z_p = np.asarray(gbuf[0])
+z_p = np.asarray(z_p)
 
 np.testing.assert_array_equal(frame_g, np.asarray(gid_p))
 np.testing.assert_array_equal(frame_z, z_p)

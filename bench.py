@@ -391,19 +391,32 @@ def _measure_scale_point(lat, lon, textured, height=1080, width=1920,
             )
         return jax.lax.scan(body, jnp.float32(0.0), angles)
 
-    angles = jnp.linspace(0.0, 0.6, iters).astype(jnp.float32)
-    out = frames(objs, transform, lights, angles)
-    _ = float(out[0])
-    # Median of 3 timed scans: single scans on the tunneled chip swing
-    # ~1.3x run-to-run (CLAUDE.md), which at the 2M point is the
-    # difference between "beats the CPU" and "loses to it".
-    timed = []
-    for _ in range(3):
-        t0 = time.perf_counter()
+    # TWO scan lengths, per-frame cost = the SLOPE between them (medians
+    # of 3 each): the synchronized fetch + per-run dispatch is a fixed
+    # ~25-30 ms that fixed short scans never amortized — the round-5 gap
+    # probe measured run_scale's old iters=10 putting +3 ms/frame under
+    # every 2M number (measurements/r5/gap2m.log: fixed 29.5 ms, slope
+    # 65.4; slope agrees across 10/30/60). The slope cancels the fixed
+    # cost EXACTLY instead of amortizing it (CLAUDE.md: "fit per-frame
+    # cost from two scan lengths when it matters"). Nothing unmeasured
+    # is subtracted: both runs carry the same fixed cost.
+    n2 = 3 * iters
+
+    def timed_med3(n):
+        angles = jnp.linspace(0.0, 0.6, n).astype(jnp.float32)
         out = frames(objs, transform, lights, angles)
         _ = float(out[0])
-        timed.append((time.perf_counter() - t0) / iters * 1e3)
-    ms = sorted(timed)[1]
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = frames(objs, transform, lights, angles)
+            _ = float(out[0])
+            ts.append((time.perf_counter() - t0) * 1e3)
+        return sorted(ts)[1], out
+
+    t1, _ = timed_med3(iters)
+    t2, out = timed_med3(n2)
+    ms = (t2 - t1) / (n2 - iters)
     drops = int(np.asarray(out[1][0])[-1])
     covered = int(np.asarray(out[1][1])[-1])
 
