@@ -95,6 +95,7 @@ def render_object(
     capacity: int | None = None,
     stats: dict | None = None,
     budget_override: float | None = None,
+    zcull: bool | None = None,
 ) -> Framebuffer:
     """Draw one object over the shared framebuffer (FillEdgeTable +
     DrawModel* pair, SURVEY.md §1.1).
@@ -153,6 +154,7 @@ def render_object(
             texture=obj.texture if fused_tex else None,
             filter_mode=cfg.filter_mode,
             budget_override=budget_override,
+            zcull=zcull,
         )
         _merge_stats(stats, rstats)
         if fresh:
@@ -226,7 +228,7 @@ def _scene_batchable(scene) -> bool:
 
 def _render_scene_batched(
     framebuffer, scene, transform, lights, frame_height, frame_width,
-    row0, col0, capacity, stats, budget_override=None,
+    row0, col0, capacity, stats, budget_override=None, zcull=None,
 ):
     """ONE fused kernel launch for the whole scene: per-object record
     tables concatenate into a scene-global channel-major table (gid lanes
@@ -334,7 +336,7 @@ def _render_scene_batched(
     covered, z, packed, rstats = rasterize_scene_shaded(
         rec_t, tuple(objspecs), transform, lights, height, width, capacity,
         frame_height, frame_width, row0, col0, atlas=atlas,
-        budget_override=budget_override,
+        budget_override=budget_override, zcull=zcull,
     )
     _merge_stats(stats, rstats)
     if fresh:
@@ -359,6 +361,7 @@ def render_scene(
     capacity: int | None = None,
     stats: dict | None = None,
     budget_override: float | None = None,
+    zcull: bool | None = None,
 ) -> Framebuffer:
     """Draw a list of objects in submission order (shared z-buffer).
 
@@ -378,6 +381,7 @@ def render_scene(
         return _render_scene_batched(
             framebuffer, scene, transform, lights, frame_height,
             frame_width, row0, col0, capacity, stats, budget_override,
+            zcull,
         )
     if framebuffer is None and not scene:
         return make_framebuffer(frame_height, frame_width)
@@ -385,7 +389,7 @@ def render_scene(
         framebuffer = render_object(
             framebuffer, obj, transform, lights, cfg, backend,
             frame_height, frame_width, row0, col0, capacity, stats,
-            budget_override,
+            budget_override, zcull,
         )
     return framebuffer
 
@@ -400,7 +404,8 @@ class Renderer:
 
     def __init__(self, height: int, width: int, backend: str = "reference",
                  clear_color: int = 0, capacity: int | None = None,
-                 budget_factor: float | None = None):
+                 budget_factor: float | None = None,
+                 zcull: bool | None = None):
         self.height = height
         self.width = width
         self.backend = backend
@@ -412,6 +417,12 @@ class Renderer:
         # defaults. Scoped here (not the module global) so two renderers
         # with different scene families never fight over one flag.
         self.budget_factor = budget_factor
+        # Occlusion block-skip (ZCULL_BLOCKS semantics, bit-exact by
+        # construction): None = module default (off). Wins on
+        # depth-complex painter's-order scenes (-12.7% on a 6-deep
+        # stack, measurements/r4/ab_zcull.log), costs ~15% on
+        # single-layer ones — a per-renderer scene-class choice.
+        self.zcull = zcull
         self._compiled = {}
 
     def render(
@@ -427,7 +438,7 @@ class Renderer:
         cfgs = tuple(cfg for _, cfg in scene)
         objs = tuple(obj for obj, _ in scene)
         key = (cfgs, tuple(o.vertices.shape for o in objs), with_stats,
-               self.budget_factor)
+               self.budget_factor, self.zcull)
         fn = self._compiled.get(key)
         if fn is None:
             budget = self.budget_factor
@@ -448,6 +459,7 @@ class Renderer:
                     self.backend, frame_height=self.height,
                     frame_width=self.width, capacity=self.capacity,
                     stats=stats, budget_override=budget,
+                    zcull=self.zcull,
                 )
                 return (fb, stats) if with_stats else fb
 

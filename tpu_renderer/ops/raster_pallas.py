@@ -2137,7 +2137,7 @@ def _raster_kernel_queue_shaded(wi_tile, starts, counts, item_ext, lcounts,
                                 *rest, frame_width, fields, objspecs,
                                 n_lights, tiles_x, tile_h, tile_w,
                                 blk=QUEUE_BLK, wide=False, split=1,
-                                rows_packed=1):
+                                rows_packed=1, zcull=None):
     """Shaded queue kernel. ``item_ext`` has ntiles+2 entries (last = maxw)
     so the dummy tail tile's item count is well-defined; the attribute
     scratch persists across a tile's consecutive work items (TPU grid steps
@@ -2325,7 +2325,9 @@ def _raster_kernel_queue_shaded(wi_tile, starts, counts, item_ext, lcounts,
 
     if streams == 1:
         sub_lo, sub_hi = chunk_span(head, n, n > head)
-    if ZCULL_BLOCKS and wide:
+    if zcull is None:
+        zcull = ZCULL_BLOCKS
+    if zcull and wide:
         # Occlusion block-skip (flag comment above): zero the chunk loop
         # when even the block's closest fragment cannot strictly beat the
         # tile's farthest already-won pixel. The relative margin forfeits
@@ -2376,6 +2378,7 @@ def rasterize_pallas_shaded(
     texture=None,
     filter_mode: str = "nearest",
     budget_override=None,
+    zcull: bool | None = None,
 ):
     """Single-object fused fast path (see rasterize_scene_shaded).
 
@@ -2401,7 +2404,7 @@ def rasterize_pallas_shaded(
     return rasterize_scene_shaded(
         edges, objspecs, transform, lights, height, width, capacity,
         frame_height, frame_width, row0, col0, strategy, tile_h, atlas,
-        budget_override,
+        budget_override, zcull,
     )
 
 
@@ -2421,6 +2424,7 @@ def rasterize_scene_shaded(
     tile_h: int | None = None,
     atlas=None,
     budget_override=None,
+    zcull: bool | None = None,
 ):
     """Fully-fused fast path: raster + interpolate + shade + ARGB pack in
     one kernel -> (covered, z(H,W), color_u32(H,W), stats). The G-buffer
@@ -2666,7 +2670,7 @@ def rasterize_scene_shaded(
             _raster_kernel_queue_shaded, frame_width=frame_width,
             fields=fields, objspecs=objspecs, n_lights=n_lights,
             tiles_x=tiles_x, tile_h=tile_h, tile_w=TILE_W, blk=blk,
-            wide=wide, split=split, rows_packed=rows,
+            wide=wide, split=split, rows_packed=rows, zcull=zcull,
         )
         if streams > 1:
             rec_indexes, out_index8 = _queue_index_maps_split(
