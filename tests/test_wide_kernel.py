@@ -367,3 +367,31 @@ def test_fold_planes_config_specialized():
     assert len(_scene_fields(phong)[0]) == 7
     assert len(_scene_fields(textured)[0]) == 3
     assert len(_scene_fields(mixed)[0]) == 10
+
+
+@pytest.mark.parametrize("win", [16, 32])
+def test_tex_row_window_bit_exact(win):
+    """TEX_ROW_WINDOW (windowed one-hot row contraction) must be
+    bit-exact vs the full-atlas contraction on both the slabbed
+    (tile_h=16, config 3) and a multi-object mixed scene — the included
+    static blocks' contributions sum to exactly the referenced texel
+    rows, and unneeded pixels' zeros are never consumed."""
+    import tpu_renderer.ops.raster_pallas as rp
+    from tpu_renderer.engine.renderer import render_scene
+    from tpu_renderer.models import scenes
+
+    H, W = 128, 256
+    scene_g, tr_d, li_d = scenes.baseline_scene(5, H, W)
+    scene_j, tr, li = scenes.to_jax_scene(scene_g, tr_d, li_d)
+    orig = rp.TEX_ROW_WINDOW
+    outs = {}
+    try:
+        for w in (0, win):
+            rp.TEX_ROW_WINDOW = w
+            fb = render_scene(None, scene_j, tr, li, backend="pallas",
+                              frame_height=H, frame_width=W)
+            outs[w] = (np.asarray(fb.color), np.asarray(fb.depth))
+    finally:
+        rp.TEX_ROW_WINDOW = orig
+    np.testing.assert_array_equal(outs[win][0], outs[0][0])
+    np.testing.assert_array_equal(outs[win][1], outs[0][1])

@@ -646,8 +646,9 @@ SAMPLE_SLAB_SKIP = True
 
 
 def _by_row_slabs(sample_fn, planes, tile_h, tile_w, slab=_SAMPLE_SLAB,
-                  need=None):
-    """Apply ``sample_fn`` (N (r, W) f32 planes + need plane (or None) ->
+                  need=None, n_mid=0, mid_lanes=0):
+    """Apply ``sample_fn`` (N (r, W) f32 planes + need plane (or None) +
+    ``n_mid`` (r, W, mid_lanes) f32 VMEM accumulator refs ->
     4 (r, W) rgba planes)
     over ``slab``-row slices of the tile, serialized through a fori_loop
     on scoped VMEM refs. Bounds the one-hot contraction intermediates
@@ -669,13 +670,31 @@ def _by_row_slabs(sample_fn, planes, tile_h, tile_w, slab=_SAMPLE_SLAB,
     All planes ride one f32 ref; integer index planes are exact in f32
     for any atlas dimension <= 2**24, and ``sample_fn`` casts back."""
     if tile_h <= slab:
-        return sample_fn(
-            *planes,
-            None if need is None else jnp.where(need, F32(1.0), F32(0.0)),
+        if n_mid == 0:
+            return sample_fn(
+                *planes,
+                None if need is None
+                else jnp.where(need, F32(1.0), F32(0.0)),
+            )
+
+        def scoped_direct(*mid_refs):
+            return sample_fn(
+                *planes,
+                None if need is None
+                else jnp.where(need, F32(1.0), F32(0.0)),
+                *mid_refs,
+            )
+
+        return pl.run_scoped(
+            scoped_direct,
+            *(
+                pltpu.VMEM((tile_h, tile_w, mid_lanes), F32)
+                for _ in range(n_mid)
+            ),
         )
     n = len(planes)
 
-    def scoped(in_ref, out_ref):
+    def scoped(in_ref, out_ref, *mid_refs):
         for i, p in enumerate(planes):
             in_ref[i] = p.astype(F32)
         if need is not None:
@@ -688,6 +707,7 @@ def _by_row_slabs(sample_fn, planes, tile_h, tile_w, slab=_SAMPLE_SLAB,
                 outs = sample_fn(
                     *(in_ref[i, rows, :] for i in range(n)),
                     in_ref[n, rows, :] if need is not None else None,
+                    *mid_refs,
                 )
                 for c in range(4):
                     out_ref[c, rows, :] = outs[c]
@@ -713,6 +733,10 @@ def _by_row_slabs(sample_fn, planes, tile_h, tile_w, slab=_SAMPLE_SLAB,
         scoped,
         pltpu.VMEM((n + (need is not None), tile_h, tile_w), F32),
         pltpu.VMEM((4, tile_h, tile_w), F32),
+        *(
+            pltpu.VMEM((slab, tile_w, mid_lanes), F32)
+            for _ in range(n_mid)
+        ),
     )
 
 
@@ -731,14 +755,22 @@ def _sample_texture_atlas(txi, tyi, tex_ref, ah, aw, tile_h, tile_w,
     # One contraction across all 4 channel blocks (N = 4*AW keeps the MXU
     # fuller than per-channel N = AW dots); Mosaic requires a 32-bit
     # accumulator, and the f32 result is exact for texel ints <= 255.
-    def one(txi_s, tyi_s, need_s):
+    windowed = TEX_ROW_WINDOW > 0 and ah > TEX_ROW_WINDOW
+
+    def one(txi_s, tyi_s, need_s, *mid_refs):
         r = txi_s.shape[0]
         txi_s = txi_s.astype(jnp.int32)  # exact f32 round-trip via the
         tyi_s = tyi_s.astype(jnp.int32)  # slab ref (no-op when direct)
-        mid = _row_texels_win(tyi_s, tex_ref, ah, r, tile_w, need_s)
+        if windowed:
+            mid = _row_texels_win(tyi_s, tex_ref, ah, r, tile_w, need_s,
+                                  mid_refs[0])
+        else:
+            mid = _row_texels(tyi_s, tex_ref, ah, r, tile_w)
         return _col_pick(txi_s, mid, aw, r, tile_w)
 
-    return _by_row_slabs(one, (txi, tyi), tile_h, tile_w, need=need)
+    return _by_row_slabs(one, (txi, tyi), tile_h, tile_w, need=need,
+                         n_mid=1 if windowed else 0,
+                         mid_lanes=int(tex_ref.shape[1]))
 
 
 def _row_texels(tyi, tex_ref, ah, tile_h, tile_w):
@@ -754,13 +786,19 @@ def _row_texels(tyi, tex_ref, ah, tile_h, tile_w):
     )
 
 
-def _row_texels_win(tyi, tex_ref, ah, tile_h, tile_w, need):
-    """Windowed _row_texels (TEX_ROW_WINDOW flag comment): contract a
-    dynamic window of the atlas rows when the slab's needed row range
-    fits, the whole atlas otherwise. Values for every ``need``-masked
-    pixel are identical to _row_texels (its one-hot matches exactly its
-    row, which the window contains); unneeded pixels may produce zeros,
-    which no consumer reads (tex_mask select)."""
+def _row_texels_win(tyi, tex_ref, ah, tile_h, tile_w, need, mid_ref):
+    """Windowed _row_texels (TEX_ROW_WINDOW flag comment): decompose the
+    row contraction into STATIC TEX_ROW_WINDOW-row blocks of the atlas
+    and skip (pl.when) every block the slab's needed row range misses —
+    a covered slab typically references 1-2 of ah/win blocks. Exact: the
+    included blocks' contributions sum to the full contraction for every
+    row a needed pixel references (rows outside [rmin, rmax] belong only
+    to unneeded pixels, whose samples no consumer reads — tex_mask
+    select). Static slices + pl.when + a caller-allocated accumulator
+    only (a first draft used a data-dependent pl.ds sublane slice +
+    nested run_scoped; Mosaic rejected the compile —
+    measurements/r5/texwin.log v1). Writes mid into ``mid_ref``
+    ((tile_h, tile_w, 4*AW) f32 VMEM) and returns it."""
     win = TEX_ROW_WINDOW
     if win <= 0 or ah <= win:
         return _row_texels(tyi, tex_ref, ah, tile_h, tile_w)
@@ -768,36 +806,31 @@ def _row_texels_win(tyi, tex_ref, ah, tile_h, tile_w, need):
         rmin = jnp.min(tyi)
         rmax = jnp.max(tyi)
     else:
-        nb = need > F32(0.5)
-        rmin = jnp.min(jnp.where(nb, tyi, ah))
-        rmax = jnp.max(jnp.where(nb, tyi, -1))
-    rmin = jnp.clip(rmin, 0, ah - win)
-    fits = (rmax - rmin) < win
+        nb_m = need > F32(0.5)
+        rmin = jnp.min(jnp.where(nb_m, tyi, ah))
+        rmax = jnp.max(jnp.where(nb_m, tyi, -1))
+    mid_ref[:] = jnp.zeros((tile_h, tile_w, tex_ref.shape[1]), F32)
+    n_blocks = -(-ah // win)
+    for b in range(n_blocks):
+        lo = b * win
+        hi = min(ah, lo + win)
+        wb = hi - lo
 
-    def scoped(mid_ref):
-        @pl.when(fits)
-        def _():
+        @pl.when((rmax >= lo) & (rmin < hi))
+        def _(lo=lo, wb=wb):
             oh_v = (
-                (tyi - rmin)[:, :, None]
+                (tyi - lo)[:, :, None]
                 == jax.lax.broadcasted_iota(
-                    jnp.int32, (tile_h, tile_w, win), 2
+                    jnp.int32, (tile_h, tile_w, wb), 2
                 )
             ).astype(jnp.bfloat16)
-            mid_ref[:] = jax.lax.dot_general(
-                oh_v, tex_ref[pl.ds(rmin, win), :],
+            mid_ref[:] += jax.lax.dot_general(
+                oh_v, tex_ref[lo:lo + wb, :],
                 (((2,), (0,)), ((), ())),
                 preferred_element_type=F32,
             )
 
-        @pl.when(jnp.logical_not(fits))
-        def _():
-            mid_ref[:] = _row_texels(tyi, tex_ref, ah, tile_h, tile_w)
-
-        return mid_ref[:]
-
-    return pl.run_scoped(
-        scoped, pltpu.VMEM((tile_h, tile_w, tex_ref.shape[1]), F32)
-    )
+    return mid_ref[:]
 
 
 def _col_pick(txi, mid, aw, tile_h, tile_w):
@@ -828,14 +861,23 @@ def _sample_texture_atlas_bilinear(txi0, txi1, tyi0, tyi1, fx, fy, tex_ref,
 
     Reference texel fetch analog: projekt.cpp:1035-1142 (nearest); the
     bilinear mode is this framework's documented extension."""
-    def one(txi0_s, txi1_s, tyi0_s, tyi1_s, fx_s, fy_s, need_s):
+    windowed = TEX_ROW_WINDOW > 0 and ah > TEX_ROW_WINDOW
+
+    def one(txi0_s, txi1_s, tyi0_s, tyi1_s, fx_s, fy_s, need_s,
+            *mid_refs):
         r = txi0_s.shape[0]
         txi0_s = txi0_s.astype(jnp.int32)  # exact f32 round-trip via
         txi1_s = txi1_s.astype(jnp.int32)  # the slab ref (no-op when
         tyi0_s = tyi0_s.astype(jnp.int32)  # called direct)
         tyi1_s = tyi1_s.astype(jnp.int32)
-        mid0 = _row_texels_win(tyi0_s, tex_ref, ah, r, tile_w, need_s)
-        mid1 = _row_texels_win(tyi1_s, tex_ref, ah, r, tile_w, need_s)
+        if windowed:
+            mid0 = _row_texels_win(tyi0_s, tex_ref, ah, r, tile_w,
+                                   need_s, mid_refs[0])
+            mid1 = _row_texels_win(tyi1_s, tex_ref, ah, r, tile_w,
+                                   need_s, mid_refs[1])
+        else:
+            mid0 = _row_texels(tyi0_s, tex_ref, ah, r, tile_w)
+            mid1 = _row_texels(tyi1_s, tex_ref, ah, r, tile_w)
         c00 = _col_pick(txi0_s, mid0, aw, r, tile_w)
         c10 = _col_pick(txi1_s, mid0, aw, r, tile_w)
         c01 = _col_pick(txi0_s, mid1, aw, r, tile_w)
@@ -848,7 +890,8 @@ def _sample_texture_atlas_bilinear(txi0, txi1, tyi0, tyi1, fx, fy, tex_ref,
         return out
 
     return _by_row_slabs(
-        one, (txi0, txi1, tyi0, tyi1, fx, fy), tile_h, tile_w, need=need
+        one, (txi0, txi1, tyi0, tyi1, fx, fy), tile_h, tile_w, need=need,
+        n_mid=2 if windowed else 0, mid_lanes=int(tex_ref.shape[1]),
     )
 
 
