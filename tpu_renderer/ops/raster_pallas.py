@@ -114,7 +114,17 @@ from .shading import pack_argb_planes, shade_planes
 F32 = jnp.float32
 
 TILE_W = 128
-CHUNK_T = 8  # triangles evaluated per vector step
+CHUNK_T = 8  # triangles evaluated per vector step (narrow paths)
+# Stage-B chunk size of the WIDE (spanex) kernels. 8 shipped from round 1
+# without ever being hardware-chosen; the round-5 A/B (measurements/r5/
+# chunk.log, interleaved, medians of 5, bit-equal, drop-free) measured 16
+# a clear win at both probed scales — 1M: 33.03 -> 30.22 ms, 2M: 55.12 ->
+# 51.16 (-7..8.5% end to end; longer slot runs amortize the per-chunk
+# scratch reads and loop overhead) — while 4 fails the remote Mosaic
+# compile. Narrow paths (sparse 16/32-row tiles, the broadcast side list)
+# keep CHUNK_T=8: their work items hold a handful of entries, where
+# doubled chunk granularity only adds masked work.
+WIDE_CHUNK_T = 16
 # Sorted-strategy narrow-path (16/32-row tiles) entries per pipelined
 # record block. 128 won the r4 A/B, bit-equal (measurements/r4/
 # ab_queueblk.log: config 4 1.549 -> 1.536 ms, config 5 4.894 -> 4.854
@@ -1021,7 +1031,7 @@ def _fold_chunk(inspan, zfrag, frags, gids, n_fields, tile_h, tile_w):
     best_z = jnp.full((tile_h, tile_w), DEPTH_CLEAR, F32)
     best_i = jnp.full((tile_h, tile_w), jnp.int32(-1))
     best_a = [jnp.zeros((tile_h, tile_w), F32) for _ in range(n_fields)]
-    for c in range(CHUNK_T):
+    for c in range(inspan.shape[0]):
         zc = jnp.where(inspan[c], zfrag[c], DEPTH_CLEAR)
         win = zc > best_z
         best_z = jnp.where(win, zc, best_z)
@@ -1039,7 +1049,7 @@ def _fold_chunk_z(inspan, zfrag, gids, tile_h, tile_w):
     best_z = jnp.full((tile_h, tile_w), DEPTH_CLEAR, F32)
     best_i = jnp.full((tile_h, tile_w), jnp.int32(-1))
     best_s = jnp.zeros((tile_h, tile_w), jnp.int32)
-    for c in range(CHUNK_T):
+    for c in range(inspan.shape[0]):
         zc = jnp.where(inspan[c], zfrag[c], DEPTH_CLEAR)
         win = zc > best_z
         best_z = jnp.where(win, zc, best_z)
@@ -1290,19 +1300,20 @@ def _chunk_best_spanex(rec, xc, n_fields, tile_h, tile_w):
     # row packing (a broadcast row otherwise — same fold either way).
     gids = rec[:, gid_lane:gid_lane + tile_h][:, :, None].astype(jnp.int32)
     if FOLD_DEFERRED:
+        C = rec.shape[0]
         best_z, best_i, best_s = _fold_chunk_z(inspan, zfrag, gids,
                                                tile_h, tile_w)
-        masks = _slot_masks(best_s, CHUNK_T)
-        k_sel = _slot_select(masks, [k[c] for c in range(CHUNK_T)])
+        masks = _slot_masks(best_s, C)
+        k_sel = _slot_select(masks, [k[c] for c in range(C)])
         best_a = []
         for i in range(n_fields):
             al = q(SPANEX_QBASE + 2 * i)
             inc = q(SPANEX_QBASE + 2 * i + 1)
             al_s = _slot_select(
-                masks, [al[c][:, None] for c in range(CHUNK_T)]
+                masks, [al[c][:, None] for c in range(C)]
             )
             inc_s = _slot_select(
-                masks, [inc[c][:, None] for c in range(CHUNK_T)]
+                masks, [inc[c][:, None] for c in range(C)]
             )
             # Same operands and op order as the direct frag eval for the
             # winning slot -> bit-equal attribute values.
@@ -1381,15 +1392,15 @@ def _chunk_best_spanex_split(recs, xc, sub_w, n_fields, tile_h, tile_w):
         if FOLD_DEFERRED:
             best_z, best_i, best_s = _fold_chunk_z(inspan, zfrag, gids,
                                                    tile_h, tile_w)
-            masks = _slot_masks(best_s, CHUNK_T)
-            k_sel = _slot_select(masks, [k[c] for c in range(CHUNK_T)])
+            masks = _slot_masks(best_s, C)
+            k_sel = _slot_select(masks, [k[c] for c in range(C)])
             best_a = []
             for i in range(n_fields):
                 al = m3(SPANEX_QBASE + 2 * i)
                 inc = m3(SPANEX_QBASE + 2 * i + 1)
-                al_s = _slot_select(masks, [al[c] for c in range(CHUNK_T)])
+                al_s = _slot_select(masks, [al[c] for c in range(C)])
                 inc_s = _slot_select(
-                    masks, [inc[c] for c in range(CHUNK_T)]
+                    masks, [inc[c] for c in range(C)]
                 )
                 best_a.append(al_s + k_sel * inc_s)
             return best_z, best_i, best_a
@@ -1441,16 +1452,17 @@ def _chunk_best_spanex_split(recs, xc, sub_w, n_fields, tile_h, tile_w):
         ]  # (C, R, 1)
         gids = tree(gparts, 0, sub_w).astype(jnp.int32)  # (C, R, W)
     if FOLD_DEFERRED:
+        C = recs[0].shape[0]
         best_z, best_i, best_s = _fold_chunk_z(inspan, zfrag, gids,
                                                tile_h, tile_w)
-        masks = _slot_masks(best_s, CHUNK_T)
-        k_sel = _slot_select(masks, [k[c] for c in range(CHUNK_T)])
+        masks = _slot_masks(best_s, C)
+        k_sel = _slot_select(masks, [k[c] for c in range(C)])
         best_a = []
         for i in range(n_fields):
             al = m3(SPANEX_QBASE + 2 * i)
             inc = m3(SPANEX_QBASE + 2 * i + 1)
-            al_s = _slot_select(masks, [al[c] for c in range(CHUNK_T)])
-            inc_s = _slot_select(masks, [inc[c] for c in range(CHUNK_T)])
+            al_s = _slot_select(masks, [al[c] for c in range(C)])
+            inc_s = _slot_select(masks, [inc[c] for c in range(C)])
             best_a.append(al_s + k_sel * inc_s)
         return best_z, best_i, best_a
     frags = [
@@ -2232,6 +2244,7 @@ def _raster_kernel_queue_shaded(wi_tile, starts, counts, item_ext, lcounts,
     else:
         tex_ref = None
         z_ref, gid_ref, color_ref, scr_ref = rest
+    ct = WIDE_CHUNK_T if wide else CHUNK_T
     g = pl.program_id(0)
     tile = wi_tile[g]
     ty = tile // tiles_x
@@ -2252,15 +2265,13 @@ def _raster_kernel_queue_shaded(wi_tile, starts, counts, item_ext, lcounts,
     w_f = F32(frame_width)
 
     def chunk_span(ent_lo, ent_hi, has):
-        lo = jnp.clip(jnp.maximum(ent_lo, 0) // CHUNK_T, 0,
-                      blk // CHUNK_T)
-        hi = jnp.clip((ent_hi + CHUNK_T - 1) // CHUNK_T, 0,
-                      blk // CHUNK_T)
+        lo = jnp.clip(jnp.maximum(ent_lo, 0) // ct, 0, blk // ct)
+        hi = jnp.clip((ent_hi + ct - 1) // ct, 0, blk // ct)
         # Blocks with no entries for this tile (e.g. every EMPTY tile's
         # single init item) must run zero chunks — the rounded-up hi
         # bound would otherwise execute one fully-masked chunk per empty
         # tile, which dominated small scenes on fine tile grids.
-        return jnp.where(has, lo, blk // CHUNK_T), jnp.where(has, hi, 0)
+        return jnp.where(has, lo, blk // ct), jnp.where(has, hi, 0)
 
     if split > 1:
         bounds = [
@@ -2287,7 +2298,7 @@ def _raster_kernel_queue_shaded(wi_tile, starts, counts, item_ext, lcounts,
                               x0 + F32((s_ + 1) * sub_w - 1))
 
         def sub_body(sub, _):
-            chunk = [r[pl.ds(sub * CHUNK_T, CHUNK_T), :]
+            chunk = [r[pl.ds(sub * ct, ct), :]
                      for r in spanex_refs]
             best = _chunk_best_spanex_split(chunk, xc, sub_w,
                                             len(fields), tile_h, tile_w)
@@ -2329,7 +2340,7 @@ def _raster_kernel_queue_shaded(wi_tile, starts, counts, item_ext, lcounts,
             )
 
         def sub_body(sub, _):
-            rec = spanex_ref[pl.ds(sub * CHUNK_T, CHUNK_T), :]
+            rec = spanex_ref[pl.ds(sub * ct, ct), :]
             best = _chunk_best_spanex(rec, xc, len(fields), tile_h,
                                       tile_w)
             _merge_chunk_shaded(best, z_ref, gid_ref, scr_ref)
@@ -2351,7 +2362,7 @@ def _raster_kernel_queue_shaded(wi_tile, starts, counts, item_ext, lcounts,
                           tile_h)
 
         def sub_body(sub, _):
-            rec = spanex_ref[pl.ds(sub * CHUNK_T, CHUNK_T), :]
+            rec = spanex_ref[pl.ds(sub * ct, ct), :]
             best = _chunk_best_spanex(rec, xc, len(fields), tile_h,
                                       tile_w)
             _merge_chunk_shaded(best, z_ref, gid_ref, scr_ref)
