@@ -80,38 +80,4 @@ for lat, lon, iters in ((707, 708, 10), (1000, 1001, 8)):
         "failed": failed,
     }), flush=True)
 
-orign = rp.CHUNK_T
-for config in (4, 5):
-    H, W = 1080, 1920
-    scene_g, tr_d, li_d = scenes.baseline_scene(config, H, W)
-    scene_j, trc, lic = scenes.to_jax_scene(scene_g, tr_d, li_d)
-    objs = tuple(o for o, _ in scene_j)
-    iters = 200
-    angles = jnp.linspace(0.0, 0.6, iters).astype(jnp.float32)
-    fns, checks, drops, failed = {}, {}, {}, {}
-    try:
-        for ct in (8, 16):
-            rp.CHUNK_T = ct
-            fn = make_fn(scene_j, H, W)
-            try:
-                c, d = fn(objs, trc, lic, angles)
-                checks[ct], drops[ct] = float(c), float(d)
-                fns[ct] = fn
-            except Exception as e:
-                failed[ct] = repr(e)[:200]
-    finally:
-        rp.CHUNK_T = orign
-    res = {k: [] for k in fns}
-    for rep in range(5):
-        for k, fn in fns.items():
-            t0 = time.perf_counter()
-            c, _ = fn(objs, trc, lic, angles)
-            _ = float(c)
-            res[k].append((time.perf_counter() - t0) / iters * 1e3)
-    print(json.dumps({
-        "probe": "NARROW_CHUNK_T", "config": config,
-        "checks_equal": len(set(checks.values())) <= 1,
-        "drops": {str(k): v for k, v in drops.items()},
-        "ms": {str(k): round(sorted(v)[2], 3) for k, v in res.items()},
-        "failed": failed,
-    }), flush=True)
+print('done', flush=True)

@@ -116,15 +116,17 @@ F32 = jnp.float32
 TILE_W = 128
 CHUNK_T = 8  # triangles evaluated per vector step (narrow paths)
 # Stage-B chunk size of the WIDE (spanex) kernels. 8 shipped from round 1
-# without ever being hardware-chosen; the round-5 A/B (measurements/r5/
-# chunk.log, interleaved, medians of 5, bit-equal, drop-free) measured 16
-# a clear win at both probed scales — 1M: 33.03 -> 30.22 ms, 2M: 55.12 ->
-# 51.16 (-7..8.5% end to end; longer slot runs amortize the per-chunk
-# scratch reads and loop overhead) — while 4 fails the remote Mosaic
-# compile. Narrow paths (sparse 16/32-row tiles, the broadcast side list)
-# keep CHUNK_T=8: their work items hold a handful of entries, where
-# doubled chunk granularity only adds masked work.
-WIDE_CHUNK_T = 16
+# without ever being hardware-chosen; the round-5 A/Bs (measurements/r5/
+# chunk.log + chunk2.log, interleaved, medians of 5, bit-equal,
+# drop-free) walked the ladder: 8 -> 16 won -7..8.5% end to end (1M
+# 33.03 -> 30.22 ms, 2M 55.12 -> 51.16), 16 -> 32 another -3.1..3.3%
+# (1M 30.19 -> 29.18, 2M 51.09 -> 49.50) — longer slot runs amortize
+# per-chunk scratch reads and loop overhead — while 4 fails the remote
+# Mosaic compile. Narrow paths (sparse 16/32-row tiles, the broadcast
+# side list) keep CHUNK_T=8: their work items hold a handful of
+# entries, and 16 measured a LOSS there (config 4 1.614 -> 1.640 ms,
+# config 5 4.883 -> 5.542 — doubled masked work per partial chunk).
+WIDE_CHUNK_T = 32
 # Sorted-strategy narrow-path (16/32-row tiles) entries per pipelined
 # record block. 128 won the r4 A/B, bit-equal (measurements/r4/
 # ab_queueblk.log: config 4 1.549 -> 1.536 ms, config 5 4.894 -> 4.854
